@@ -1,0 +1,168 @@
+"""Flag-compatible configuration surface.
+
+Re-creates the reference's single argparse surface (``BaseOptions``,
+reference ``config.py:4-78``) with the same flag names, defaults and
+semantics, so reference run scripts (``script/ablation_pose.sh:5``,
+``eval.sh:5``) work verbatim against this framework.
+
+Deviations (documented, behind compat notes):
+  * The reference declares boolean flags with ``type=bool`` so
+    ``--pos_embed False`` parses as ``True`` (any non-empty string is
+    truthy, reference ``config.py:50``).  We parse booleans properly via
+    :func:`str2bool`.  Pass ``--compat_argparse_bool`` to restore the
+    reference's (buggy) behavior for ablation reproduction.
+  * TPU-specific flags are added under a ``tpu:`` group (mesh shape,
+    dtype policy, host data workers).  They have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def _compat_bool(v) -> bool:
+    """Reference ``type=bool`` semantics: truthiness of the raw string."""
+    return bool(v)
+
+
+@dataclasses.dataclass
+class Options:
+    """Typed view of the option namespace (mirrors reference ``opt``).
+
+    Every field corresponds to a reference flag (``config.py:9-67``) unless
+    listed under the TPU section at the bottom.
+    """
+
+    # checkpointing (config.py:9-12)
+    resume: bool = False
+    checkpoint_hand: str = "hand_net.pth"
+    checkpoint_folder: str = "experiments/0131_224_smplx"
+
+    # MANO mean shape: palm vs back-of-hand template vertices (config.py:15)
+    outside: bool = True
+
+    # ViT options (config.py:18-23)
+    net: str = "ViT"
+    vit_dim: int = 256
+    vit_depth: int = 3
+    vit_heads: int = 8
+    vit_mlp_dim: int = 512
+    vit_dropout: float = 0.0
+
+    # regressor feature level (config.py:26)
+    feature: str = "x2"
+
+    # visualization (config.py:29, 46)
+    debug_img: str = "single"
+    debug: bool = True
+
+    # train options (config.py:32-45)
+    batch_size: int = 32
+    lr: float = 1e-4
+    epoch: int = 50
+    iteration: int = 1
+    stage: int = 1
+    order: str = "SMPLX"
+    hand_choice: str = "mano"
+    smplx_model_path: str = "extra_data/SMPLX_NEUTRAL.pkl"
+    mean_mano_param: str = "extra_data/mean_mano_params.pkl"
+    smplx_hand_info_file: str = "extra_data/SMPLX_HAND_INFO.pkl"
+    right_hand_model: str = "extra_data/MANO_RIGHT.pkl"
+    use_heatmap: bool = False
+    freeze: bool = False
+
+    # ablations (config.py:49-53)
+    mask_rate: float = 0.0
+    pos_embed: bool = True
+    pl_reg: bool = False
+
+    # loss weights (config.py:56-57)
+    l_weight_3d: float = 0.0
+    l_weight_2d: float = 0.0
+
+    # data augmentation (config.py:60-61)
+    motion_blur: bool = False
+    rotation: bool = False
+
+    # eval options (config.py:64-67)
+    eval_dataset: str = "STB"
+    result_dir: str = "./output/eval_0219/"
+    checkpoint_path_eval: str = "experiments/0207_iccv_1/hand_net_final.pth"
+
+    # ------------------------------------------------------------------
+    # TPU-native extensions (no reference equivalent)
+    # ------------------------------------------------------------------
+    mesh_shape: str = "data:-1"       # e.g. "data:8" or "data:4,model:2"
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"   # backbone/transformer compute dtype
+    use_pallas_attention: bool = True
+    seed: int = 0
+    steps_per_epoch: int = 0          # 0 = derive from dataset length
+    log_every: int = 10               # loss print cadence (train.py:230)
+    checkpoint_every_epochs: int = 10  # torch.save cadence (train.py:237)
+    data_dir: str = "./STB/"
+    synthetic_data: bool = False       # use the in-memory synthetic dataset
+    compat_argparse_bool: bool = False
+    compat_pl_ema_reset: bool = True  # reproduce train.py:180-182 EMA reset
+    compat_pck_flat: bool = True      # reproduce eval.py:311-312 dist.flat
+    donate_state: bool = True
+
+    # Derived / runtime-only
+    def mesh_axes(self) -> Tuple[Tuple[str, int], ...]:
+        axes = []
+        for part in self.mesh_shape.split(","):
+            name, _, n = part.partition(":")
+            axes.append((name.strip(), int(n) if n else -1))
+        return tuple(axes)
+
+
+_BOOL_FIELDS = (
+    "resume", "outside", "use_heatmap", "freeze", "debug", "pos_embed",
+    "pl_reg", "motion_blur", "rotation",
+    # tpu extensions
+    "use_pallas_attention", "synthetic_data", "compat_argparse_bool",
+    "compat_pl_ema_reset", "compat_pck_flat", "donate_state",
+)
+
+
+class BaseOptions:
+    """Argparse front-end with reference flag parity (``config.py:4-78``)."""
+
+    def __init__(self, compat_argparse_bool: bool = False):
+        parser = argparse.ArgumentParser(
+            description="scat_tpu: TPU-native SCAT hand-pose framework")
+        bool_type = _compat_bool if compat_argparse_bool else str2bool
+        defaults = Options()
+        for f in dataclasses.fields(Options):
+            name = f.name
+            default = getattr(defaults, name)
+            if name in _BOOL_FIELDS:
+                parser.add_argument(f"--{name}", type=bool_type,
+                                    default=default)
+            elif f.type in ("int", int):
+                parser.add_argument(f"--{name}", type=int, default=default)
+            elif f.type in ("float", float):
+                parser.add_argument(f"--{name}", type=float, default=default)
+            else:
+                parser.add_argument(f"--{name}", type=str, default=default)
+        self.parser = parser
+
+    def parse(self, argv: Optional[Sequence[str]] = None) -> Options:
+        ns = self.parser.parse_args(argv)
+        return Options(**vars(ns))
+
+    # reference config.py:76-78
+    def parse_jupyter(self) -> Options:
+        return self.parse([])
