@@ -1,0 +1,13 @@
+from scat_tpu.models import (  # noqa: F401
+    factory,
+    hand_net,
+    hrnet,
+    inception,
+    losses,
+    mano,
+    performer,
+    resnet,
+    transformer,
+    vit,
+)
+from scat_tpu.models.factory import build_model  # noqa: F401

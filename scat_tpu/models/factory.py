@@ -1,0 +1,77 @@
+"""Model factory keyed by the ``--net`` flag.
+
+Mirrors the drivers' net switches (reference train.py:53-57,
+train_coarse.py:47-58, eval.py:379-391): reg_transformer /
+reg_transformer_coarse / backbone_hrnet / backbone_incepv3 / frankmocap /
+ViT / ViP.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from scat_tpu import assets
+from scat_tpu.config import Options
+from scat_tpu.models.hand_net import (
+    EncoderTransformer, EncoderTransformerCoarse, EncoderTransformerHRNet,
+    EncoderTransformerInception, H3DWEncoder)
+from scat_tpu.models.performer import ViP
+from scat_tpu.models.vit import ViT
+
+
+def _dtype(opt: Options):
+    return jnp.dtype(opt.compute_dtype)
+
+
+def build_model(opt: Options, image_size: int = 224):
+    """Returns ``(flax module, mean_params ndarray)`` for ``opt.net``."""
+    token_dim = (image_size // 8) ** 2
+    if opt.net in ("reg_transformer", "reg_transformer_coarse"):
+        mean = assets.load_mean_params(outside=opt.outside)
+    elif opt.net in ("backbone_hrnet", "backbone_incepv3", "frankmocap"):
+        mean = assets.load_mean_mano_pose(opt.mean_mano_param)
+    else:
+        mean = assets.load_mean_params(outside=opt.outside)
+    mean_j = jnp.asarray(mean)
+
+    if opt.net == "reg_transformer":
+        model = EncoderTransformer(
+            mean_params=mean_j, iteration=opt.iteration,
+            heads=opt.vit_heads, depth=opt.vit_depth,
+            mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
+            pl_reg=opt.pl_reg, token_dim=token_dim,
+            use_pallas=opt.use_pallas_attention, dtype=_dtype(opt))
+    elif opt.net == "reg_transformer_coarse":
+        model = EncoderTransformerCoarse(
+            mean_params=mean_j, heads=opt.vit_heads, depth=opt.vit_depth,
+            mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
+            pl_reg=opt.pl_reg, token_dim=token_dim, dtype=_dtype(opt))
+    elif opt.net == "backbone_hrnet":
+        model = EncoderTransformerHRNet(
+            mean_params=mean_j, iteration=opt.iteration,
+            heads=opt.vit_heads, depth=opt.vit_depth,
+            mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
+            dtype=_dtype(opt))
+    elif opt.net == "backbone_incepv3":
+        model = EncoderTransformerInception(
+            mean_params=mean_j, iteration=opt.iteration,
+            heads=opt.vit_heads, depth=opt.vit_depth,
+            mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
+            dtype=_dtype(opt))
+    elif opt.net == "frankmocap":
+        model = H3DWEncoder(mean_params=mean_j, dtype=_dtype(opt))
+    elif opt.net == "ViT":
+        model = ViT(mean_params=mean_j, image_size=image_size,
+                    dim=opt.vit_dim, depth=opt.vit_depth,
+                    heads=opt.vit_heads, mlp_dim=opt.vit_mlp_dim,
+                    dropout=opt.vit_dropout, iteration=opt.iteration,
+                    dtype=_dtype(opt))
+    elif opt.net == "ViP":
+        model = ViP(mean_params=mean_j, image_pix=image_size,
+                    iteration=opt.iteration, dtype=_dtype(opt))
+    else:
+        raise ValueError(f"unknown --net {opt.net!r}")
+    return model, mean

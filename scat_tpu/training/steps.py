@@ -1,0 +1,121 @@
+"""Jitted train / eval steps — the whole reference hot loop as one XLA
+program each.
+
+Reference call stack being fused (train.py:136-209): empty-sample filter
+-> H2D copy -> net forward -> weak-perspective projection -> 3D MSE +
+2D L1 (+ PL reg) -> backward -> Adam step.  Here the filter is a validity
+mask, the forward/backward/update trace into a single jit, and batches
+arrive already on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from scat_tpu.models import losses as losses_lib
+from scat_tpu.ops import metrics as metrics_lib
+from scat_tpu.ops import procrustes
+from scat_tpu.ops.geometry import batch_orth_proj_idrot, project_2d
+from scat_tpu.training.state import TrainState
+
+
+def predictions_to_keypoints(pred_params: jax.Array
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Split [B,66] -> (cam [B,3], joints3d [B,21,3], joints2d_px [B,21,2])
+    (reference train.py:164-174)."""
+    cam = pred_params[:, :3]
+    j3d = pred_params[:, 3:66].reshape(-1, 21, 3)
+    j2d = project_2d(batch_orth_proj_idrot(j3d, cam))
+    return cam, j3d, j2d
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    l_weight_3d: float, l_weight_2d: float,
+                    pl_reg: bool = False, ema_reset_compat: bool = True
+                    ) -> Callable[[TrainState, Dict[str, jax.Array]],
+                                  Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the fused train step for any encoder with the
+    ``(pred, feat_visual[, pl_grad])`` output contract."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        images, labels = batch["image"], batch["label"]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = metrics_lib.valid_sample_mask(images)
+        mask_key, dropout_key, new_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            outputs, mutated = model.apply(
+                variables, images, train=True,
+                rngs={"mask": mask_key, "dropout": dropout_key},
+                mutable=["batch_stats"])
+            if pl_reg:
+                pred, feat_visual, pl_grad = outputs
+            else:
+                pred, feat_visual = outputs[0], outputs[1]
+                pl_grad = None
+            _, j3d, j2d = predictions_to_keypoints(pred)
+            breakdown, new_pl = losses_lib.scat_loss(
+                j3d.reshape(-1, 63), j2d.reshape(-1, 42), labels,
+                l_weight_3d, l_weight_2d, valid=valid, pl_grad=pl_grad,
+                pl_mean_state=state.pl_mean,
+                ema_reset_compat=ema_reset_compat)
+            return breakdown.total, (mutated["batch_stats"], breakdown,
+                                     new_pl)
+
+        grads, (new_bs, breakdown, new_pl) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, pl_mean=new_pl, rng=new_rng)
+        stats = {
+            "loss": breakdown.total,
+            "loss_3d": l_weight_3d * breakdown.l_3d,
+            "loss_2d": l_weight_2d * breakdown.l_2d,
+            "loss_pl": 10.0 * breakdown.l_pl,
+            "valid_frac": valid.mean(),
+        }
+        return new_state, stats
+
+    return train_step
+
+
+def make_eval_step(model, pl_reg: bool = False,
+                   pck_range=metrics_lib.DEFAULT_PCK_RANGE_MM,
+                   flat_compat: bool = True):
+    """Fused eval step: forward -> projection -> PA-Procrustes -> metrics
+    (reference eval.py:810-1027 minus visualization)."""
+
+    def eval_step(params, batch_stats, batch: Dict[str, jax.Array]):
+        images, labels = batch["image"], batch["label"]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = metrics_lib.valid_sample_mask(images)
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs = model.apply(variables, images, train=False)
+        pred = outputs[0]
+        _, j3d, j2d = predictions_to_keypoints(pred)
+        views = losses_lib.split_labels(labels)
+        gt3d = views.joints_3d.reshape(-1, 21, 3)
+        aligned = procrustes.similarity_align(j3d, gt3d)
+        pck = metrics_lib.cal_pck(aligned, gt3d, pck_range,
+                                  flat_compat=flat_compat, valid=valid)
+        err = metrics_lib.mpjpe(aligned, gt3d)
+        return {
+            "pck": pck,
+            "mpjpe_per_sample": err,
+            "valid": valid,
+            "pred_joints_3d": aligned,
+            "pred_joints_2d": j2d,
+        }
+
+    return eval_step

@@ -1,0 +1,112 @@
+"""Shape/dtype tests for every encoder configuration in SURVEY.md §2.5,
+driven through the --net factory (small image sizes for CPU speed)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scat_tpu.config import Options
+from scat_tpu.models import build_model
+
+IMG = 64
+
+
+def _run(opt, image_size=IMG, expect_pl=False):
+    model, mean = build_model(opt, image_size=image_size)
+    x = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, x)
+    out, _ = model.apply(variables, x, train=True,
+                         rngs={"mask": jax.random.key(2)},
+                         mutable=["batch_stats", "constants"])
+    return out
+
+
+def test_reg_transformer_variant():
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=2,
+                  mask_rate=0.2, use_pallas_attention=False,
+                  compute_dtype="float32")
+    out = _run(opt)
+    assert out[0].shape == (2, 66)
+
+
+def test_reg_transformer_coarse_variant():
+    opt = Options(net="reg_transformer_coarse", vit_heads=2,
+                  compute_dtype="float32")
+    out = _run(opt)
+    pred, fmap, attn = out
+    assert pred.shape == (2, 66)
+    assert attn.shape[-2:] == (21, 21)
+
+
+@pytest.mark.slow
+def test_backbone_hrnet_variant():
+    opt = Options(net="backbone_hrnet", vit_heads=2,
+                  compute_dtype="float32")
+    # HRNet reinterpret requires the 224-layout (56x56x128 -> 512x28x28)
+    out = _run(opt, image_size=224)
+    assert out.shape == (2, 61)
+
+
+@pytest.mark.slow
+def test_backbone_incepv3_variant():
+    opt = Options(net="backbone_incepv3", vit_heads=2,
+                  compute_dtype="float32")
+    out = _run(opt, image_size=224)
+    assert out.shape == (2, 61)
+
+
+def test_frankmocap_variant():
+    opt = Options(net="frankmocap", compute_dtype="float32")
+    out = _run(opt)
+    feat, pred = out
+    assert pred.shape == (2, 61)
+
+
+def test_vit_variant():
+    opt = Options(net="ViT", vit_dim=64, vit_heads=2, iteration=2,
+                  compute_dtype="float32")
+    out = _run(opt)
+    pred, feat = out
+    assert pred.shape == (2, 66)
+
+
+def test_vip_variant():
+    opt = Options(net="ViP", iteration=2, compute_dtype="float32")
+    model, mean = build_model(opt, image_size=IMG)
+    x = jnp.zeros((2, IMG, IMG, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1),
+         "dropout": jax.random.key(2)}, x)
+    (pred, feat), _ = model.apply(variables, x, train=True,
+                                  rngs={"dropout": jax.random.key(3)},
+                                  mutable=["batch_stats", "constants"])
+    assert pred.shape == (2, 66)
+
+
+def test_favor_attention_approximates_softmax(rng):
+    """FAVOR+ with many features approximates softmax attention
+    (reference vision_performer.py:34-53 math check)."""
+    from scat_tpu.models.performer import favor_attention
+    d, T, m = 16, 8, 4096
+    q = jnp.asarray(rng.randn(1, T, d) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.randn(1, T, d) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.randn(1, T, d), jnp.float32)
+    w = jnp.asarray(rng.randn(m, d), jnp.float32)
+    got = np.asarray(favor_attention(q, k, v, w))[0]
+    # exact softmax attention with the gaussian-kernel normalization
+    s = np.asarray(q[0]) @ np.asarray(k[0]).T
+    p = np.exp(s - s.max())
+    p /= p.sum(-1, keepdims=True)
+    want = p @ np.asarray(v[0])
+    np.testing.assert_allclose(got, want, atol=0.15)
+
+
+def test_yunqian_transformer(rng):
+    from scat_tpu.models.vit import YunqianTransformer
+    model = YunqianTransformer(dim=64, depth=2, heads=2, out_dim=61)
+    x = jnp.asarray(rng.randn(2, 10, 64), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, 10, 61)
