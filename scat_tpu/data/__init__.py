@@ -1,1 +1,9 @@
-from scat_tpu.data import synthetic  # noqa: F401
+from scat_tpu.data import (  # noqa: F401
+    freihand,
+    ho3d,
+    multi,
+    preprocess,
+    stb,
+    synthetic,
+    testset,
+)

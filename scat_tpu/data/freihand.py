@@ -1,0 +1,177 @@
+"""FreiHAND dataset loader (re-derived — the reference imports
+``dataset/load_frei_3d.py`` which is MISSING from the public snapshot,
+SURVEY.md "Missing modules").
+
+Re-derivation sources:
+  * the 166-float label contract consumed by the train loop
+    (reference train.py:193-196): ``[3:51]`` pose (48), ``[61:124]`` 3D
+    joints (63), ``[124:]`` 2D pixels (42) — so the layout is
+    [cam3 | pose48 | shape10 | 3D63 | 2D42];
+  * the FreiHAND helpers the reference *does* ship in
+    load_test_dataset.py: OpenGL-coords projection with the y/z sign
+    flip (project_3D_points :33-53), hardcoded split sizes 65920/11524
+    (db_size :55-62), bone-normalized rescale with the 180deg x-axis
+    rotation (rescale_3d_joints :91-103), quaternion pose rotation
+    (rotate_pose :159-167);
+  * the standard public FreiHAND disk layout
+    (training/rgb/%08d.jpg, training_K.json, training_xyz.json,
+    training_mano.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as ScipyRotation
+
+from scat_tpu.config import Options
+from scat_tpu.data.preprocess import normalize_to_unit
+
+COORD_CHANGE_MAT = np.array([[1., 0., 0.], [0., -1., 0.], [0., 0., -1.]],
+                            dtype=np.float32)
+
+
+def db_size(set_name: str) -> int:
+    """reference load_test_dataset.py:55-62."""
+    if set_name == "train":
+        return 65920
+    elif set_name == "evaluation":
+        return 11524
+    assert 0, "Invalid choice."
+
+
+def project_3D_points(cam_mat: np.ndarray, pts3D: np.ndarray,
+                      is_OpenGL_coords: bool = True) -> np.ndarray:
+    """reference load_test_dataset.py:33-53."""
+    assert pts3D.shape[-1] == 3 and len(pts3D.shape) == 2
+    if is_OpenGL_coords:
+        pts3D = pts3D.dot(COORD_CHANGE_MAT.T)
+    proj = pts3D.dot(cam_mat.T)
+    return np.stack([proj[:, 0] / proj[:, 2], proj[:, 1] / proj[:, 2]],
+                    axis=1)
+
+
+def rescale_3d_joints(joints_3d: np.ndarray,
+                      ref_len: float = 0.03058954) -> np.ndarray:
+    """reference load_test_dataset.py:91-103: pin bone 4-5, root-center
+    on joint 1, rotate 180deg about x (y/z negate)."""
+    l = np.linalg.norm(joints_3d[4] - joints_3d[5])
+    out = joints_3d * (ref_len / l)
+    out = out - out[1]
+    return out * np.array([1, -1, -1])
+
+
+def rotate_pose(pose: np.ndarray) -> np.ndarray:
+    """Compose a 180deg x-axis rotation into the global orient
+    (reference load_test_dataset.py:159-167)."""
+    out = pose.copy()
+    r = ScipyRotation.from_rotvec(pose[:3])
+    rx = ScipyRotation.from_rotvec([np.pi, 0, 0])
+    out[:3] = (rx * r).as_rotvec()
+    return out
+
+
+def pack_label_166(pose48: np.ndarray, shape10: np.ndarray,
+                   joints_3d: np.ndarray, joints_2d: np.ndarray,
+                   cam3: Optional[np.ndarray] = None) -> np.ndarray:
+    """[cam3 | pose48 | shape10 | 3D63 | 2D42] = 166 floats
+    (layout from reference train.py:193-196)."""
+    out = np.zeros((166,), np.float32)
+    if cam3 is not None:
+        out[:3] = cam3
+    out[3:51] = pose48
+    out[51:61] = shape10
+    out[61:124] = joints_3d.reshape(-1)
+    out[124:] = joints_2d.reshape(-1)
+    return out
+
+
+class FreiHANDDataset:
+    """Batches of (224x224x3 [-1,1] image, 166-float label)."""
+
+    def __init__(self, data_dir: str, split: str = "training",
+                 batch_size: int = 32, shuffle: bool = True,
+                 seed: int = 0):
+        self.data_dir = data_dir
+        self.split = split
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        with open(os.path.join(data_dir, f"{split}_K.json")) as f:
+            self.K = np.asarray(json.load(f), np.float32)
+        with open(os.path.join(data_dir, f"{split}_xyz.json")) as f:
+            self.xyz = np.asarray(json.load(f), np.float32)
+        mano_path = os.path.join(data_dir, f"{split}_mano.json")
+        if os.path.exists(mano_path):
+            with open(mano_path) as f:
+                self.mano = np.asarray(json.load(f), np.float32)
+        else:
+            self.mano = None
+        self.rgb_dir = os.path.join(data_dir, split, "rgb")
+        n_images = len([f for f in os.listdir(self.rgb_dir)
+                        if f.endswith((".jpg", ".png"))])
+        # greenscreen/versioned copies reuse the unique label set
+        self.n_unique = self.xyz.shape[0]
+        self.n_images = n_images
+
+    def __len__(self) -> int:
+        return self.n_images // self.batch_size
+
+    def sample_labels(self, index: int):
+        uid = index % self.n_unique
+        K = self.K[uid]
+        xyz = self.xyz[uid]
+        joints_2d = project_3D_points(K, xyz, is_OpenGL_coords=False)
+        joints_3d = rescale_3d_joints(xyz.copy())
+        if self.mano is not None:
+            mano = self.mano[uid].reshape(-1)
+            pose = rotate_pose(mano[:48].copy())
+            shape = mano[48:58] if mano.shape[0] >= 58 else np.zeros(10)
+        else:
+            pose = np.zeros(48, np.float32)
+            shape = np.zeros(10, np.float32)
+        return pack_label_166(pose, shape, joints_3d, joints_2d)
+
+    def _load_image(self, index: int) -> np.ndarray:
+        from PIL import Image
+        path = os.path.join(self.rgb_dir, f"{index:08d}.jpg")
+        img = Image.open(path).convert("RGB")
+        if img.size != (224, 224):
+            img = img.resize((224, 224))
+        return np.asarray(img)
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        order = np.arange(self.n_images)
+        if self.shuffle:
+            np.random.RandomState(self.seed).shuffle(order)
+        B = self.batch_size
+        for b in range(len(self)):
+            idxs = order[b * B:(b + 1) * B]
+            imgs = np.stack([self._load_image(i) for i in idxs])
+            labels = np.stack([self.sample_labels(i) for i in idxs])
+            yield {"image": normalize_to_unit(jnp.asarray(imgs)),
+                   "label": jnp.asarray(labels),
+                   "valid": jnp.ones((B,), jnp.float32)}
+
+
+def get_loader_frei(stage: str = "training", bs: int = 32,
+                    opt: Optional[Options] = None) -> FreiHANDDataset:
+    """Factory matching the missing module's surface (eval.py:37)."""
+    opt = opt or Options()
+    data_dir = os.path.join(os.path.dirname(opt.data_dir.rstrip("/")),
+                            "FreiHAND")
+    if not os.path.isdir(data_dir):
+        data_dir = opt.data_dir
+    return FreiHANDDataset(data_dir, "training", bs,
+                           shuffle=(stage == "training"), seed=opt.seed)
+
+
+def get_loader_frei_eval(opt: Optional[Options] = None) -> FreiHANDDataset:
+    opt = opt or Options()
+    ds = get_loader_frei("val", opt.batch_size, opt)
+    return ds

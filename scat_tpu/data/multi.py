@@ -1,0 +1,77 @@
+"""MultiDataset: dataset zipping + training-stage mixes.
+
+Reference dataset/MultiDataset.py: ``ConcatDataset.__getitem__`` returns
+a *tuple of per-dataset samples* so the train loop iterates
+``for data in datas`` over one batch from each dataset
+(reference train.py:136-138); stage 1-6 picks the mix (only stage 3 /
+STB is live in the shipped snapshot, the rest commented).  Here every
+stage is wired to the corresponding loader (missing reference loaders
+were re-derived: freihand.py, ho3d.py); RHD/MHP remain unavailable and
+raise with the stage message.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+from scat_tpu.config import Options
+
+
+class ConcatDataset:
+    """Zip N batch-iterables; yields tuples of batches, truncated to the
+    shortest (reference MultiDataset.py:4-12 min-length semantics)."""
+
+    def __init__(self, *datasets):
+        self.datasets = datasets
+
+    def __len__(self) -> int:
+        return min(len(d) for d in self.datasets)
+
+    def __iter__(self) -> Iterator[Tuple]:
+        iters = [iter(d) for d in self.datasets]
+        for _ in range(len(self)):
+            yield tuple(next(it) for it in iters)
+
+
+def concat_dataset(batch_size: int, opt: Options) -> ConcatDataset:
+    """reference MultiDataset.py:14-78."""
+    assert opt.stage in [1, 2, 3, 4, 5, 6], \
+        "stage must fall in 1, 2, 3, 4, 5, 6"
+    from scat_tpu.data.stb import get_loader_STB
+
+    if opt.stage == 1:
+        print("[STAGE][1] pretrain, use Freihand&ho3d dataset.")
+        from scat_tpu.data.freihand import get_loader_frei
+        from scat_tpu.data.ho3d import get_loader_ho3d
+        return ConcatDataset(
+            get_loader_frei("training", batch_size, opt),
+            get_loader_ho3d("training", batch_size, opt))
+    elif opt.stage == 2:
+        print("[STAGE][2] finetune, use RHD, STB, freiHand, STB, MHP.")
+        from scat_tpu.data.freihand import get_loader_frei
+        from scat_tpu.data.ho3d import get_loader_ho3d
+        # RHD/MHP loaders do not exist in the public reference either
+        # (SURVEY.md "Missing modules"); stage 2 runs with the three
+        # available datasets.
+        return ConcatDataset(
+            get_loader_frei("training", batch_size, opt),
+            get_loader_ho3d("training", batch_size, opt),
+            get_loader_STB("training", batch_size, opt))
+    elif opt.stage == 3:
+        print("[STAGE][3] finish, finetune.")
+        return ConcatDataset(get_loader_STB("training", batch_size, opt))
+    elif opt.stage == 4:
+        print("[STAGE][4] Ablation Study on freiHand.")
+        from scat_tpu.data.freihand import get_loader_frei
+        return ConcatDataset(
+            get_loader_frei("training", batch_size, opt))
+    elif opt.stage == 5:
+        print("[STAGE][5] Ablation Study on Ho-3D.")
+        from scat_tpu.data.ho3d import get_loader_ho3d
+        return ConcatDataset(
+            get_loader_ho3d("training", batch_size, opt))
+    elif opt.stage == 6:
+        raise NotImplementedError(
+            "[STAGE][6] Ablation Study on MHP: the MHP loader is absent "
+            "from the public reference snapshot (load_MHP.py missing) "
+            "and no layout contract exists to re-derive it.")

@@ -1,0 +1,205 @@
+"""On-device fused preprocessing: flip / rotate / crop / resize /
+normalize as ONE affine gather per image.
+
+The reference does per-sample PIL/cv2 work in DataLoader worker processes
+(hand_flip load_STB.py:69-74, rotate_img rotation.py:7-55, crop_hand
+load_STB.py:76-96, Resize+ToTensor+Normalize load_STB.py:48-67).  Here
+the same geometry composes into a single 2x3 affine per sample; the
+pixel work is one batched bilinear gather on device (HBM-bandwidth
+bound, fuses with the normalize), which is the BASELINE.json north-star
+"fused on-device preprocessing stage".
+
+Label math is numerically identical to the reference formulas and is
+pure jnp (tested against them in tests/test_preprocess.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scat_tpu.ops.geometry import rotation_matrix_2d
+
+
+def affine_compose(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Compose 2x3 affines: result(x) = A(B(x)); batched [...,2,3]."""
+    RA, tA = A[..., :2], A[..., 2]
+    RB, tB = B[..., :2], B[..., 2]
+    R = RA @ RB
+    t = jnp.einsum("...ij,...j->...i", RA, tB) + tA
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def affine_invert(M: jax.Array) -> jax.Array:
+    """Invert 2x3 affines; batched."""
+    R, t = M[..., :2], M[..., 2]
+    det = R[..., 0, 0] * R[..., 1, 1] - R[..., 0, 1] * R[..., 1, 0]
+    inv = jnp.stack([
+        jnp.stack([R[..., 1, 1], -R[..., 0, 1]], -1),
+        jnp.stack([-R[..., 1, 0], R[..., 0, 0]], -1),
+    ], -2) / det[..., None, None]
+    ti = -jnp.einsum("...ij,...j->...i", inv, t)
+    return jnp.concatenate([inv, ti[..., None]], axis=-1)
+
+
+def identity_affine(batch_shape=()) -> jax.Array:
+    eye = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    return jnp.broadcast_to(eye, batch_shape + (2, 3))
+
+
+def flip_affine(width: jax.Array) -> jax.Array:
+    """Horizontal mirror: x' = width - x (reference hand_flip
+    load_STB.py:69-74 maps joints as [w,0] + (-x, y))."""
+    w = jnp.asarray(width, jnp.float32)
+    z = jnp.zeros_like(w)
+    one = jnp.ones_like(w)
+    return jnp.stack([
+        jnp.stack([-one, z, w], -1),
+        jnp.stack([z, one, z], -1),
+    ], -2)
+
+
+def crop_hand_affine(joints_2d: jax.Array, img_w, img_h,
+                     out_size: int = 224, expand: float = 1.3,
+                     min_size: float = 10.0, max_size: float = 500.0,
+                     center_joint: int = 4
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Square crop about joint ``center_joint`` then resize to out_size.
+
+    Exactly the reference crop_hand math (load_STB.py:76-96): half-size =
+    clip(expand * max(max_coord-center, center-min_coord), min, max);
+    joint remap (j + [-left,-top]) * (out/2s).  Returns (affine [B,2,3]
+    output<-input mapping for joints, remapped joints).
+
+    ``crop_hand_ref`` (eval.py:89-108) is this with expand=1.5,
+    min_size=20.
+    """
+    img_w = jnp.asarray(img_w, jnp.float32)
+    img_h = jnp.asarray(img_h, jnp.float32)
+    center = joints_2d[..., center_joint, :]           # [B,2]
+    size_vec = jnp.stack([img_w, img_h], -1)
+    min_coord = jnp.maximum(joints_2d.min(axis=-2), 0.0)
+    max_coord = jnp.minimum(joints_2d.max(axis=-2), size_vec)
+    half = jnp.maximum(max_coord - center, center - min_coord)
+    half = expand * half
+    half = jnp.max(half, axis=-1)
+    half = jnp.clip(half, min_size, max_size)          # [B]
+    left = center[..., 0] - half
+    top = center[..., 1] - half
+    scale = out_size / (2.0 * half)
+    z = jnp.zeros_like(scale)
+    M = jnp.stack([
+        jnp.stack([scale, z, -left * scale], -1),
+        jnp.stack([z, scale, -top * scale], -1),
+    ], -2)                                             # [B,2,3]
+    ones = jnp.ones_like(joints_2d[..., :1])
+    joints_out = jnp.einsum(
+        "...ij,...nj->...ni", M,
+        jnp.concatenate([joints_2d, ones], axis=-1))
+    return M, joints_out
+
+
+def rotate_affine_expand(angle_deg: jax.Array, w, h
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rotation about the image center with canvas expansion
+    (reference rotation.py:7-30).  Returns (affine, new_w, new_h).
+    NOTE: the expanded canvas size is data-dependent; for static shapes
+    feed the affine into a fixed-size output and fold the expansion into
+    the subsequent crop affine.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    M = rotation_matrix_2d(angle_deg,
+                           jnp.stack([w // 2, h // 2], -1))
+    cos = jnp.abs(M[..., 0, 0])
+    sin = jnp.abs(M[..., 0, 1])
+    nW = jnp.floor(h * sin + w * cos)
+    nH = jnp.floor(h * cos + w * sin)
+    M = M.at[..., 0, 2].add(nW / 2 - w // 2)
+    M = M.at[..., 1, 2].add(nH / 2 - h // 2)
+    return M, nW, nH
+
+
+def affine_sample(images: jax.Array, M_out_from_in: jax.Array,
+                  out_h: int, out_w: int,
+                  fill: float = 0.0) -> jax.Array:
+    """Batched bilinear warp: output[b, y, x] = image[b, M^-1 (x,y)].
+
+    ``images`` [B,H,W,C] float; ``M_out_from_in`` [B,2,3] maps INPUT px
+    -> OUTPUT px (the label affine); sampling uses its inverse.  Out-of-
+    bounds reads return ``fill`` (PIL crop pads with black).
+    """
+    B, H, W, C = images.shape
+    Minv = affine_invert(M_out_from_in)                # output -> input
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)                      # [oh,ow]
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [oh,ow,3]
+    src = jnp.einsum("bij,hwj->bhwi", Minv, grid)      # [B,oh,ow,2]
+    sx, sy = src[..., 0], src[..., 1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        vals = jax.vmap(lambda img, yy, xx: img[yy, xx])(images, yi_c,
+                                                         xi_c)
+        return jnp.where(valid[..., None], vals, fill)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def normalize_to_unit(images_uint_or_float: jax.Array) -> jax.Array:
+    """[0,255] or [0,1] -> [-1,1] (Normalize((.5,.5,.5),(.5,.5,.5)),
+    reference load_STB.py:51-52)."""
+    x = images_uint_or_float.astype(jnp.float32)
+    x = jnp.where(jnp.max(x) > 2.0, x / 255.0, x)
+    return x * 2.0 - 1.0
+
+
+def fused_crop_pipeline(images: jax.Array, joints_2d: jax.Array,
+                        flip: bool = True,
+                        angle_deg: Optional[jax.Array] = None,
+                        out_size: int = 224
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """flip -> (rotate) -> crop -> resize -> normalize, one gather.
+
+    Mirrors the reference per-sample chain (load_STB.py:263-274) with the
+    canvas-expansion rotation folded into the crop affine so output
+    shapes stay static.
+    """
+    B, H, W, C = images.shape
+    M = flip_affine(jnp.full((B,), W)) if flip \
+        else identity_affine((B,))
+    ones = jnp.ones_like(joints_2d[..., :1])
+
+    def apply(M, j):
+        return jnp.einsum("bij,bnj->bni", M,
+                          jnp.concatenate([j, ones], -1))
+
+    joints = apply(M, joints_2d)
+    if angle_deg is not None:
+        R, _, _ = rotate_affine_expand(angle_deg, W, H)
+        M = affine_compose(R, M)
+        joints = apply(M, joints_2d)
+    Mc, joints = crop_hand_affine(joints, W, H, out_size)
+    M = affine_compose(Mc, M)
+    out = affine_sample(normalize_to_unit(images), M, out_size, out_size,
+                        fill=-1.0)
+    return out, joints

@@ -1,0 +1,272 @@
+"""STB (Stereo Hand Tracking Benchmark) dataset.
+
+Reference dataset/load_STB.py.  The reference reads annotation pickles
+and SK_color frames from an Alibaba OSS bucket that ships as ``None``
+with a "user must specify local path" TODO (load_STB.py:205-207, note at
+:3-6); this loader reads the same layout from a local directory:
+
+    {data_dir}/B2Counting/SK_color_0.png ...
+    {data_dir}/labels/B2Counting_SK.pkl  (dict with "handPara" [3,21,N])
+
+Label math (identical formulas, all host-side numpy here, tested against
+them; the per-image pixel work is done on device by
+scat_tpu.data.preprocess.fused_crop_pipeline):
+  depth->color transform (load_STB.py:299-305), STB->Snap joint reorder
+  (:149), mm->m (:234), palm->wrist root fix (:307-312), Simple->SMPLX
+  reorder (:35,255), pinhole 2D projection (:257-258), bone-normalized
+  3D rescale+flip (:98-110), left->right hand flip (:69-74), 1.3x
+  square crop -> 224 (:76-96).  Label layout: 63 + 42 = 105 floats
+  (:286-289).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scat_tpu.config import Options
+from scat_tpu.data import preprocess
+from scat_tpu.ops.heatmap import draw_gaussian_heatmaps
+
+# Simple(Snap) -> SMPLX joint order (reference load_STB.py:35)
+jointsMapSimpleToSMPLX = [0, 5, 6, 7, 9, 10, 11, 17, 18, 19, 13, 14, 15,
+                          1, 2, 3, 8, 12, 20, 16, 4]
+# SMPLX -> MANO (reference load_STB.py:36)
+jointsMapSMPLXToMano = [0, 1, 2, 3, 16, 4, 5, 6, 17, 7, 8, 9, 18, 10, 11,
+                        12, 19, 13, 14, 15, 20]
+
+# SK color-camera intrinsics (reference load_STB.py:43-46)
+SK_FX_COLOR, SK_FY_COLOR = 607.92271, 607.88192
+SK_TX_COLOR, SK_TY_COLOR = 314.78337, 236.42484
+COLOR_K = np.array([[SK_FX_COLOR, 0, SK_TX_COLOR],
+                    [0, SK_FY_COLOR, SK_TY_COLOR],
+                    [0, 0, 1]], dtype=np.float64)
+
+SK_ROT_VEC = [0.00531, -0.01196, 0.00301]
+SK_TRANS_VEC = [-24.0381, -0.4563, -1.2326]  # mm (load_STB.py:129-130)
+
+STB_JOINTS = ["loc_bn_palm_L"] + [
+    f"loc_bn_{f}_L_0{i}" for f in
+    ("pinky", "ring", "mid", "index", "thumb") for i in range(1, 5)]
+SNAP_JOINTS = ["loc_bn_palm_L"] + [
+    f"loc_bn_{f}_L_0{i}" for f in
+    ("thumb", "index", "mid", "ring", "pinky") for i in range(1, 5)]
+_snap_id = {n: i for i, n in enumerate(SNAP_JOINTS)}
+STB_TO_SNAP_ID = [_snap_id[n] for n in STB_JOINTS]
+
+DATASETS = {
+    "STB_train": {
+        "image_list": ["B2Counting", "B2Random", "B3Counting", "B3Random",
+                       "B4Counting", "B4Random", "B5Counting", "B5Random",
+                       "B6Counting", "B6Random"],
+        "image_prefix": "SK_color",
+    },
+    "STB_eval": {
+        "image_list": ["B1Counting", "B1Random"],
+        "image_prefix": "SK_color",
+    },
+}
+
+
+def sk_rot_mx(rot_vec) -> np.ndarray:
+    """Rodrigues with the reference's quaternion convention
+    (load_STB.py:112-126 — note the NEGATED vector part, giving the
+    transpose of the usual rotation)."""
+    theta = np.linalg.norm(rot_vec)
+    vector = np.asarray(rot_vec) * math.sin(theta / 2.0) / theta
+    a = math.cos(theta / 2.0)
+    b, c, d = -vector
+    return np.array([
+        [a*a + b*b - c*c - d*d, 2*(b*c + a*d), 2*(b*d - a*c)],
+        [2*(b*c - a*d), a*a + c*c - b*b - d*d, 2*(c*d + a*b)],
+        [2*(b*d + a*c), 2*(c*d - a*b), a*a + d*d - b*b - c*c]])
+
+
+SK_ROT = sk_rot_mx(SK_ROT_VEC)
+
+
+def sk_xyz_depth2color(depth_xyz: np.ndarray, trans_vec=SK_TRANS_VEC,
+                       rot_mx=SK_ROT) -> np.ndarray:
+    """(depth-cam xyz - t) @ R (reference load_STB.py:299-305)."""
+    return (depth_xyz - np.asarray(trans_vec)) @ rot_mx
+
+
+def palm2wrist(pose_xyz: np.ndarray) -> np.ndarray:
+    """Move the root from palm center to wrist: root = ring1 +
+    2*(root - ring1) (reference load_STB.py:307-312)."""
+    root_id = _snap_id["loc_bn_palm_L"]
+    ring_id = _snap_id["loc_bn_ring_L_01"]
+    out = pose_xyz.copy()
+    out[:, root_id] = (pose_xyz[:, ring_id]
+                       + 2.0 * (pose_xyz[:, root_id]
+                                - pose_xyz[:, ring_id]))
+    return out
+
+
+def load_stb_labels(ann_file: str) -> np.ndarray:
+    """One sequence's annotation pickle -> [N,21,3] meters, SMPLX order
+    pipeline inputs (Snap order here; the per-sample SMPLX reorder
+    happens in make_sample like reference load_STB.py:255)."""
+    with open(ann_file, "rb") as f:
+        mat_gt = pickle.load(f, encoding="latin1")
+    curr = np.asarray(mat_gt["handPara"]).transpose(2, 1, 0)  # N x 21 x 3
+    curr = sk_xyz_depth2color(curr)
+    curr = curr[:, STB_TO_SNAP_ID, :] / 1000.0
+    return palm2wrist(curr)
+
+
+def project_color(joints_3d: np.ndarray) -> np.ndarray:
+    uvw = joints_3d @ COLOR_K.T
+    return uvw[:, :2] / uvw[:, 2:]
+
+
+def rescale_3d_joints_flip_np(joints_3d: np.ndarray,
+                              ref_len: float = 0.03058954) -> np.ndarray:
+    """reference load_STB.py:98-110 in numpy."""
+    l = np.linalg.norm(joints_3d[4] - joints_3d[5])
+    out = joints_3d * (ref_len / l)
+    out[:, 0] *= -1
+    return out - out[1]
+
+
+class STBDataset:
+    """Local-filesystem STB loader with the reference's sample contract:
+    batches of (224x224x3 [-1,1] image, 105-float label)."""
+
+    def __init__(self, name: str = "STB_train",
+                 data_dir: str = "./STB/",
+                 batch_size: int = 32,
+                 rotation: bool = False, motion_blur: bool = False,
+                 use_heatmap: bool = False, shuffle: bool = True,
+                 seed: int = 0, opt: Optional[Options] = None):
+        self.data_dir = data_dir
+        self.batch_size = batch_size
+        self.rotation = rotation
+        self.motion_blur = motion_blur
+        self.use_heatmap = use_heatmap
+        self.shuffle = shuffle
+        self.seed = seed
+        attrs = DATASETS[name]
+        ann_dir = os.path.join(data_dir, "labels")
+        self.image_paths: List[str] = []
+        pose_gts = []
+        for image_dir in attrs["image_list"]:
+            ann_file = os.path.join(
+                ann_dir, image_dir + "_"
+                + attrs["image_prefix"][:2] + ".pkl")
+            if not os.path.exists(ann_file):
+                continue
+            curr = load_stb_labels(ann_file)
+            pose_gts.append(curr)
+            for i in range(curr.shape[0]):
+                self.image_paths.append(os.path.join(
+                    data_dir, image_dir,
+                    f"{attrs['image_prefix']}_{i}.png"))
+        self.pose_gts = (np.concatenate(pose_gts, 0).astype(np.float32)
+                         if pose_gts else np.zeros((0, 21, 3), np.float32))
+
+    def __len__(self) -> int:
+        return len(self.image_paths) // self.batch_size
+
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))
+
+    def sample_labels(self, index: int):
+        """Per-sample label math before the on-device pixel work."""
+        joints_3d = self.pose_gts[index][jointsMapSimpleToSMPLX]
+        joints_2d = project_color(joints_3d.astype(np.float64))
+        joints_3d = rescale_3d_joints_flip_np(joints_3d.astype(np.float64))
+        return joints_3d.astype(np.float32), joints_2d.astype(np.float32)
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        order = np.arange(len(self.image_paths))
+        if self.shuffle:
+            np.random.RandomState(self.seed).shuffle(order)
+        rng = np.random.RandomState(self.seed + 1)
+        B = self.batch_size
+        for b in range(len(self)):
+            idxs = order[b * B:(b + 1) * B]
+            imgs = np.stack([self._load_image(self.image_paths[i])
+                             for i in idxs])
+            j3d = np.zeros((B, 21, 3), np.float32)
+            j2d = np.zeros((B, 21, 2), np.float32)
+            for n, i in enumerate(idxs):
+                j3d[n], j2d[n] = self.sample_labels(i)
+            angle = (jnp.asarray(rng.randint(1, 361, size=(B,)),
+                                 jnp.float32) if self.rotation else None)
+            images_j = jnp.asarray(imgs)
+            if self.motion_blur:
+                images_j = maybe_motion_blur(images_j, rng)
+            crops, j2d_out = preprocess.fused_crop_pipeline(
+                images_j, jnp.asarray(j2d), flip=True, angle_deg=angle)
+            if angle is not None:
+                from scat_tpu.ops.geometry import (rotate_joints_3d,
+                                                   rotation_matrix_2d)
+                M = rotation_matrix_2d(
+                    angle, jnp.zeros((B, 2), jnp.float32))
+                j3d = np.asarray(rotate_joints_3d(jnp.asarray(j3d), M))
+            label = jnp.concatenate(
+                [jnp.asarray(j3d).reshape(B, 63),
+                 j2d_out.reshape(B, 42)], axis=1)
+            batch = {"image": crops, "label": label,
+                     "valid": jnp.ones((B,), jnp.float32)}
+            if self.use_heatmap:
+                batch["heatmap"] = draw_gaussian_heatmaps(
+                    j2d_out / 4.0, 56, 56, radius=8)
+            yield batch
+
+
+def maybe_motion_blur(images: jax.Array, rng: np.random.RandomState
+                      ) -> jax.Array:
+    """1-in-6 per-batch motion blur with a random-length axis kernel
+    (reference load_STB.py:154-187,266-268; applied per-batch here so
+    shapes stay static — per-sample choice folds into the validity of
+    the augmentation, not the shape)."""
+    if rng.randint(0, 6) != 1:
+        return images
+    ksize = int(rng.randint(1, 11))
+    if ksize <= 1:
+        return images
+    kernel = jnp.ones((ksize,), jnp.float32) / ksize
+    axis = int(rng.randint(0, 2))  # 0 vertical, 1 horizontal
+    x = images.astype(jnp.float32)
+    # depthwise 1-D convolution along the chosen spatial axis
+    pad = ksize // 2
+    if axis == 0:
+        xp = jnp.pad(x, ((0, 0), (pad, ksize - 1 - pad), (0, 0), (0, 0)),
+                     mode="edge")
+        out = sum(xp[:, i:i + x.shape[1]] * kernel[i]
+                  for i in range(ksize))
+    else:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (pad, ksize - 1 - pad), (0, 0)),
+                     mode="edge")
+        out = sum(xp[:, :, i:i + x.shape[2]] * kernel[i]
+                  for i in range(ksize))
+    return out
+
+
+def get_loader_STB(stage: str = "training", bs: int = 128,
+                   opt: Optional[Options] = None) -> STBDataset:
+    """reference load_STB.py:344-353."""
+    assert stage in ("training", "val", "test")
+    opt = opt or Options()
+    return STBDataset("STB_train", data_dir=opt.data_dir, batch_size=bs,
+                      rotation=opt.rotation, motion_blur=opt.motion_blur,
+                      use_heatmap=opt.use_heatmap, shuffle=True,
+                      seed=opt.seed, opt=opt)
+
+
+def get_loader_STB_eval(opt: Optional[Options] = None) -> STBDataset:
+    """reference load_STB.py:355-363."""
+    opt = opt or Options()
+    return STBDataset("STB_eval", data_dir=opt.data_dir,
+                      batch_size=opt.batch_size, rotation=False,
+                      motion_blur=False, use_heatmap=False, shuffle=False,
+                      seed=opt.seed, opt=opt)

@@ -1,0 +1,139 @@
+"""Evaluation driver — the reference ``eval.py`` benchmark flow.
+
+Reference Trainer.eval (eval.py:788-1053): per batch — empty filter,
+forward, projection, PA-Procrustes, PCK(20..50mm) accumulation, per-batch
+AUC + FPS print, MPJPE per-sample accumulation; finally pck_all /= n,
+AUC over the averaged curve, PCK.png, and MPJPE/AUC prints.
+
+The per-batch compute is one jitted program (steps.make_eval_step); the
+host loop accumulates numpy scalars and renders the curve.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scat_tpu.config import Options
+from scat_tpu.models import build_model
+from scat_tpu.ops import metrics as metrics_lib
+from scat_tpu.parallel import mesh as mesh_lib
+from scat_tpu.training import steps
+from scat_tpu.utils import checkpoint as ckpt_lib
+
+RNGE = np.arange(20, 51, 5)
+
+
+def save_pck_curve(rnge: np.ndarray, pck_curve: np.ndarray, path: str):
+    """PCK.png (reference eval.py:1031-1047)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception as e:  # pragma: no cover
+        print(f"matplotlib unavailable, skipping PCK.png: {e}")
+        return
+    plt.figure(figsize=(7, 7))
+    plt.plot(rnge, pck_curve, label="PCK", linewidth=2)
+    plt.xlim(20, 50)
+    plt.xticks(np.arange(20, 51, 5))
+    plt.yticks(np.arange(0, 101.0, 10.0))
+    plt.ylabel("Detection rate, %")
+    plt.xlabel("Error Thresholds (mm)")
+    plt.grid()
+    legend = plt.legend(loc=4)
+    legend.get_frame().set_facecolor("white")
+    plt.savefig(path)
+    plt.close()
+
+
+class Evaluator:
+    """``Evaluator(opt).eval(eval_dataset)`` — reference eval surface."""
+
+    def __init__(self, opt: Options, image_size: int = 224,
+                 dataset: Optional[Iterable] = None,
+                 variables=None):
+        self.opt = opt
+        self.batch_size = opt.batch_size
+        self.result_dir = opt.result_dir
+        os.makedirs(self.result_dir, exist_ok=True)
+        self.mesh = mesh_lib.make_mesh(opt.mesh_axes())
+        self.model, self.mean_params = build_model(opt, image_size)
+        self.dataset = dataset
+
+        if variables is None:
+            sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+            variables = self.model.init(
+                {"params": jax.random.key(0),
+                 "mask": jax.random.key(1),
+                 "dropout": jax.random.key(2)}, sample, train=False)
+            variables = dict(variables)
+            variables["params"] = ckpt_lib.restore_params_nonstrict(
+                opt.checkpoint_path_eval, variables["params"])
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        raw = steps.make_eval_step(
+            self.model, pl_reg=False,
+            pck_range=tuple(int(r) for r in RNGE),
+            flat_compat=opt.compat_pck_flat)
+        self.eval_step = mesh_lib.jit_eval_step(raw, self.mesh)
+
+    def eval(self, eval_dataset: str = "STB"):
+        if self.dataset is not None:
+            loader = self.dataset
+        else:
+            from scat_tpu.training.trainer import make_dataset
+            loader = make_dataset(self.opt, 224, training=False)
+
+        pck_all = np.zeros((len(RNGE), 22))
+        mpjpe_chunks = []
+        auc_3d = []
+        n = 0
+        for batch in loader:
+            n += 1
+            t0 = time.time()
+            batch = mesh_lib.shard_batch(self.mesh, batch)
+            out = self.eval_step(self.params, self.batch_stats, batch)
+            pck = np.asarray(out["pck"])
+            err = np.asarray(out["mpjpe_per_sample"])
+            valid = np.asarray(out["valid"]).astype(bool)
+            fps = self.batch_size / (time.time() - t0)
+            print(f"FPS: {fps:.2f}")
+            pck_all += pck
+            auc = float(metrics_lib.area_under_curve(
+                jnp.asarray(RNGE / RNGE.max(), jnp.float32),
+                jnp.asarray(pck[:, -1], jnp.float32)))
+            auc_3d.append(auc)
+            print("AUC: {}.".format(auc))
+            print("@50: {}.".format(pck[-1, -1]))
+            mpjpe_chunks.append(err[valid])
+        pck_all /= max(n, 1)
+        mpjpe = (np.concatenate(mpjpe_chunks) if mpjpe_chunks
+                 else np.zeros(1))
+        auc = float(metrics_lib.area_under_curve(
+            jnp.asarray(RNGE / RNGE.max(), jnp.float32),
+            jnp.asarray(pck_all[:, -1], jnp.float32)))
+        save_pck_curve(RNGE, pck_all[:, -1],
+                       os.path.join(self.result_dir, "PCK.png"))
+        print("*** Final Results ***")
+        print()
+        print("MPJPE: " + str(1000 * mpjpe.mean()))
+        print("AUC: " + str(auc))
+        return {"mpjpe_mm": 1000 * mpjpe.mean(), "auc": auc,
+                "pck": pck_all}
+
+
+def main(argv=None):
+    from scat_tpu.config import BaseOptions
+    opt = BaseOptions().parse(argv)
+    Evaluator(opt).eval(eval_dataset=opt.eval_dataset)
+
+
+if __name__ == "__main__":
+    main()

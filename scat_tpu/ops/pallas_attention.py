@@ -28,7 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = False  # force-interpret override (tests may flip this)
+
+
+def _interpret_mode() -> bool:
+    # Mosaic only lowers on TPU; interpret everywhere else so the same
+    # model code runs on the CPU test platform.
+    return _INTERPRET or jax.default_backend() != "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -119,7 +125,7 @@ def _flash_fwd_impl(q, k, v, scale):
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        interpret=_INTERPRET,
+        interpret=_interpret_mode(),
     )(qm, km, vm)
     return out[:bh, :n, :].reshape(b, h, n, d)
 
@@ -147,7 +153,7 @@ def _flash_bwd(scale, res, g):
         grid=grid,
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
-        interpret=_INTERPRET,
+        interpret=_interpret_mode(),
     )(qm, km, vm, gm)
 
     def unpad(x):

@@ -1,0 +1,107 @@
+"""Device mesh + sharding layer (the reference has none — SURVEY.md
+§2.10: DDP is imported but never constructed; training is single-device).
+
+TPU-native scale-out design:
+  * a ``jax.sharding.Mesh`` over the slice (1-D ``data`` axis by default;
+    a ``model`` axis is accepted for future tensor parallelism — the
+    ~30M-param model doesn't need TP for capability parity, so sharding
+    rules keep params replicated and batch data-sharded),
+  * batch arrays sharded on ``data``; gradients reduced by XLA's
+    automatic ``psum`` under jit (replaces DDP allreduce),
+  * BatchNorm statistics are computed over the full logical batch under
+    GSPMD — cross-replica BN for free, no axis_name plumbing,
+  * multi-host: ``jax.distributed.initialize`` + the same mesh over all
+    processes (DCN between hosts, ICI within).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape: Optional[Sequence[Tuple[str, int]]] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a mesh; ``-1`` sizes absorb the remaining devices.
+
+    Default: all devices on one ``data`` axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = ((DATA_AXIS, -1),)
+    names = [name for name, _ in mesh_shape]
+    sizes = [size for _, size in mesh_shape]
+    unknown = [i for i, s in enumerate(sizes) if s == -1]
+    known = int(np.prod([s for s in sizes if s != -1])) if sizes else 1
+    if unknown:
+        assert len(unknown) == 1, "at most one -1 axis"
+        sizes[unknown[0]] = n // known
+    assert int(np.prod(sizes)) == n, (
+        f"mesh {list(zip(names, sizes))} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, tuple(names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, batch-axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a train-state pytree across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+
+
+def jit_train_step(train_step, mesh: Mesh, donate_state: bool = True):
+    """Jit a ``(state, batch) -> (state, stats)`` step with data-parallel
+    input/output shardings pinned (params replicated, batch sharded).
+
+    XLA inserts the gradient all-reduce automatically; BN statistics are
+    global because the batch is one logical array.
+    """
+    state_sh = replicated(mesh)
+    batch_sh = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def jit_eval_step(eval_step, mesh: Mesh):
+    state_sh = replicated(mesh)
+    batch_sh = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(state_sh, state_sh, batch_sh),
+    )
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host init (no-op single host).  Controlled by the standard
+    JAX coordination env vars; replaces the reference's absent
+    process-group bootstrap (SURVEY.md §2.10)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -1,0 +1,12 @@
+"""CLI entry: ``python -m scat_tpu.train`` (reference train.py:248-253).
+
+Accepts the reference flag line verbatim, e.g.
+``--net reg_transformer --batch_size 96 --lr 5e-4 --epoch 40 --stage 3
+--l_weight_3d 100000 --l_weight_2d 10 --vit_heads 8 --iteration 3
+--pos_embed True --mask_rate 0.2`` (script/ablation_pose.sh:5).
+"""
+
+from scat_tpu.training.trainer import main
+
+if __name__ == "__main__":
+    main()

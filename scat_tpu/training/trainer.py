@@ -1,0 +1,137 @@
+"""Training driver — the reference ``train.py`` re-imagined for TPU.
+
+Reference call stack (train.py:122-246): epoch loop -> warmup-scheduler
+step -> batch loop -> empty-sample filter -> H2D -> forward -> projection
+-> losses -> backward -> Adam -> running-loss prints every 10 steps ->
+checkpoint every 10 epochs -> final save.
+
+Here: one jitted, mesh-sharded step does filter(mask)/forward/loss/
+backward/update; the host loop only feeds batches and logs.  Loss prints
+keep the reference's format and cadence (train.py:230-232).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from scat_tpu.config import Options
+from scat_tpu.data.synthetic import SyntheticDataset
+from scat_tpu.models import build_model
+from scat_tpu.parallel import mesh as mesh_lib
+from scat_tpu.training import schedule, steps
+from scat_tpu.training.state import TrainState
+from scat_tpu.utils import checkpoint as ckpt_lib
+
+
+def make_dataset(opt: Options, image_size: int, training: bool = True):
+    if opt.synthetic_data:
+        return SyntheticDataset(opt.batch_size,
+                                num_batches=opt.steps_per_epoch or 16,
+                                seed=opt.seed, image_size=image_size)
+    from scat_tpu.data.stb import get_loader_STB, get_loader_STB_eval
+    if training:
+        return get_loader_STB(stage="training", bs=opt.batch_size, opt=opt)
+    return get_loader_STB_eval(opt)
+
+
+class Trainer:
+    """``Trainer(opt).train()`` — reference train.py:29-246 surface."""
+
+    def __init__(self, opt: Options, image_size: int = 224,
+                 dataset: Optional[Iterable] = None):
+        self.opt = opt
+        self.image_size = image_size
+        self.batch_size = opt.batch_size
+        self.lr = opt.lr
+        self.epoches = opt.epoch
+        self.pl = opt.pl_reg
+        print("with pose length reg" if self.pl
+              else "no pose length reg")
+        self.l_weight_3d = opt.l_weight_3d
+        self.l_weight_2d = opt.l_weight_2d
+
+        mesh_lib.maybe_initialize_distributed()
+        self.mesh = mesh_lib.make_mesh(opt.mesh_axes())
+
+        if opt.net == "reg_transformer":
+            print("[iccv2021 scat] Transformer regressor...")
+        self.model, self.mean_params = build_model(opt, image_size)
+
+        self.train_loader = (dataset if dataset is not None
+                             else make_dataset(opt, image_size))
+        steps_per_epoch = len(self.train_loader)
+        print("batch num", steps_per_epoch)
+
+        self.tx = schedule.make_optimizer(self.lr, steps_per_epoch,
+                                          warmup_epochs=15)
+        rng = jax.random.key(opt.seed)
+        init_rngs = {"params": jax.random.fold_in(rng, 0),
+                     "mask": jax.random.fold_in(rng, 1),
+                     "dropout": jax.random.fold_in(rng, 2)}
+        sample = jnp.zeros((opt.batch_size, image_size, image_size, 3),
+                           jnp.float32)
+        variables = self.model.init(init_rngs, sample, train=True)
+        self.constants = variables.get("constants", {})
+        self.state = TrainState.create(
+            variables["params"], variables.get("batch_stats", {}),
+            self.tx, jax.random.fold_in(rng, 3))
+
+        if opt.resume:
+            restored = ckpt_lib.restore_state(opt.checkpoint_hand,
+                                              self.state)
+            if restored is not None:
+                self.state = restored
+                self.success_load = True
+            else:
+                self.success_load = False
+
+        self.state = mesh_lib.replicate_state(self.mesh, self.state)
+        raw_step = steps.make_train_step(
+            self.model, self.tx, self.l_weight_3d, self.l_weight_2d,
+            pl_reg=self.pl, ema_reset_compat=opt.compat_pl_ema_reset)
+        self.train_step = mesh_lib.jit_train_step(
+            raw_step, self.mesh, donate_state=opt.donate_state)
+
+    def train(self):
+        opt = self.opt
+        log_every = max(opt.log_every, 1)
+        for epoch in range(self.epoches):
+            running_loss = loss_3d = loss_2d = loss_pl = 0.0
+            t_epoch = time.time()
+            n_samples = 0
+            for i, batch in enumerate(self.train_loader):
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+                self.state, stats = self.train_step(self.state, batch)
+                n_samples += self.batch_size
+                running_loss += float(stats["loss"])
+                loss_3d += float(stats["loss_3d"])
+                loss_2d += float(stats["loss_2d"])
+                loss_pl = float(stats["loss_pl"])
+                if i % log_every == 0:
+                    print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
+                          "2d loss: %.3f, pose length reg: %.3f"
+                          % (epoch + 1, i + 1, running_loss / log_every,
+                             loss_3d / log_every, loss_2d / log_every,
+                             loss_pl))
+                    running_loss = loss_3d = loss_2d = 0.0
+            dt = time.time() - t_epoch
+            print(f"epoch {epoch + 1}: {n_samples / dt:.1f} samples/s")
+            if epoch % opt.checkpoint_every_epochs == 0:
+                ckpt_lib.save_state(opt.checkpoint_folder, self.state)
+        print("Finished Training")
+        ckpt_lib.save_state(opt.checkpoint_folder, self.state,
+                            ckpt_lib.FINAL_NAME)
+
+
+def main(argv=None):
+    from scat_tpu.config import BaseOptions
+    opt = BaseOptions().parse(argv)
+    Trainer(opt).train()
+
+
+if __name__ == "__main__":
+    main()

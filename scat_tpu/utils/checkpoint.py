@@ -1,0 +1,77 @@
+"""Checkpoint / resume.
+
+Reference behavior being preserved (SURVEY.md §5): save every 10 epochs
+to ``{checkpoint_folder}/hand_net.pth`` plus a final
+``hand_net_final.pth`` (reference train.py:237-246); resume loads
+``--checkpoint_hand`` with a partial, non-strict merge
+(``load_state_dict(strict=False)``, train.py:66-75) and a missing file
+is a warning, not an error (train.py:68-70).
+
+Upgrades over the reference: the checkpoint is the FULL train state
+(params, optimizer state, BN stats, PL-EMA, PRNG, step) written
+atomically via Orbax, so resume is exact; the reference lost optimizer
+and scheduler state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from scat_tpu.training.state import TrainState
+
+FINAL_NAME = "hand_net_final"
+PERIODIC_NAME = "hand_net"
+
+
+def _path(folder: str, name: str) -> str:
+    return os.path.abspath(os.path.join(folder, name))
+
+
+def save_state(folder: str, state: TrainState, name: str = PERIODIC_NAME
+               ) -> str:
+    """Atomic full-state save (replaces torch.save of a bare state_dict)."""
+    os.makedirs(folder, exist_ok=True)
+    path = _path(folder, name)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_state(path: str, template: TrainState
+                  ) -> Optional[TrainState]:
+    """Restore a full train state; returns None if the path is missing
+    (reference train.py:68-70 prints and trains from scratch)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        print(f"Error: {path} does not exists, Start from Scratch...")
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, template)
+    print(f"Checkpoint loaded from: {path}")
+    return restored
+
+
+def restore_params_nonstrict(path: str, params: Any) -> Any:
+    """Partial parameter load: keep current values for anything missing
+    in the checkpoint — the ``strict=False`` semantics the reference uses
+    for both resume and eval loading (train.py:73, eval.py:393-402)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        print(f"Error: {path} does not exists, Start from Scratch...")
+        return params
+    ckptr = ocp.PyTreeCheckpointer()
+    loaded = ckptr.restore(path)
+    loaded_params = loaded.get("params", loaded)
+
+    def merge(cur, new):
+        if isinstance(cur, dict):
+            return {k: merge(v, new.get(k)) if isinstance(new, dict)
+                    else v for k, v in cur.items()}
+        return cur if new is None else new
+
+    return merge(params, loaded_params)
