@@ -36,7 +36,7 @@ class HRBottleneck(nn.Module):
         y = self.conv(self.planes, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.planes, (3, 3))(y)
+        y = self.conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.planes * 4, (1, 1))(y)
@@ -58,10 +58,10 @@ class HRBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.planes, (3, 3))(x)
+        y = self.conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)])(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.planes, (3, 3))(y)
+        y = self.conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         return nn.relu(y + residual)
 
@@ -107,11 +107,11 @@ class StageModule(nn.Module):
                     y = _nearest_upsample(y, 2 ** (j - i))
                 else:  # i > j: chain of stride-2 3x3 convs
                     for k in range(i - j - 1):
-                        y = self.conv(self.c * (2 ** j), (3, 3), (2, 2),
+                        y = self.conv(self.c * (2 ** j), (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                       name=f"fuse{i}_{j}_down{k}_conv")(y)
                         y = self.norm(name=f"fuse{i}_{j}_down{k}_bn")(y)
                         y = nn.relu(y)
-                    y = self.conv(self.c * (2 ** i), (3, 3), (2, 2),
+                    y = self.conv(self.c * (2 ** i), (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                   name=f"fuse{i}_{j}_final_conv")(y)
                     y = self.norm(name=f"fuse{i}_{j}_final_bn")(y)
                 acc = y if acc is None else acc + y
@@ -133,10 +133,10 @@ class HRNet(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         # stem
-        x = conv(64, (3, 3), (2, 2), name="conv1")(x)
+        x = conv(64, (3, 3), (2, 2), padding=[(1, 1), (1, 1)], name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
-        x = conv(64, (3, 3), (2, 2), name="conv2")(x)
+        x = conv(64, (3, 3), (2, 2), padding=[(1, 1), (1, 1)], name="conv2")(x)
         x = norm(name="bn2")(x)
         x = nn.relu(x)
         # layer1: 4 bottlenecks, first projecting 64 -> 256
@@ -144,20 +144,20 @@ class HRNet(nn.Module):
         for i in range(1, 4):
             x = HRBottleneck(64, conv, norm, name=f"layer1_{i}")(x)
         # transition1 -> 2 branches
-        b0 = nn.relu(norm(name="t1_bn0")(conv(self.c, (3, 3),
+        b0 = nn.relu(norm(name="t1_bn0")(conv(self.c, (3, 3), padding=[(1, 1), (1, 1)],
                                               name="t1_conv0")(x)))
-        b1 = nn.relu(norm(name="t1_bn1")(conv(self.c * 2, (3, 3), (2, 2),
+        b1 = nn.relu(norm(name="t1_bn1")(conv(self.c * 2, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                               name="t1_conv1")(x)))
         xs = [b0, b1]
         xs = StageModule(2, 2, self.c, conv, norm, name="stage2_0")(xs)
         # transition2 -> new branch from the lowest-res branch
-        b2 = nn.relu(norm(name="t2_bn")(conv(self.c * 4, (3, 3), (2, 2),
+        b2 = nn.relu(norm(name="t2_bn")(conv(self.c * 4, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                              name="t2_conv")(xs[-1])))
         xs = [xs[0], xs[1], b2]
         for m in range(4):
             xs = StageModule(3, 3, self.c, conv, norm,
                              name=f"stage3_{m}")(xs)
-        b3 = nn.relu(norm(name="t3_bn")(conv(self.c * 8, (3, 3), (2, 2),
+        b3 = nn.relu(norm(name="t3_bn")(conv(self.c * 8, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                              name="t3_conv")(xs[-1])))
         xs = [xs[0], xs[1], xs[2], b3]
         xs = StageModule(4, 4, self.c, conv, norm, name="stage4_0")(xs)
