@@ -219,3 +219,15 @@ def rot_pose_beta_to_mesh(model: ManoModel, rots: jax.Array,
                         precision=jax.lax.Precision.HIGHEST)
     center = joints[:, 1:2]
     return jnp.concatenate([joints - center, verts - center], axis=1)
+
+
+def save_obj(verts, faces, obj_mesh_name: str) -> None:
+    """Export a mesh as Wavefront .obj (reference mano.py:139-149)."""
+    import numpy as _np
+    verts = _np.asarray(verts)
+    faces = _np.asarray(faces)
+    with open(obj_mesh_name, "w") as fp:
+        for v in verts:
+            fp.write("v %f %f %f\n" % (v[0], v[1], v[2]))
+        for f in faces:
+            fp.write("f %d %d %d\n" % (f[0] + 1, f[1] + 1, f[2] + 1))

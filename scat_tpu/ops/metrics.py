@@ -147,3 +147,15 @@ def valid_sample_mask(images: jax.Array, threshold: float = 2000.0
     content = jnp.abs(jnp.sum(images, axis=(1, 2, 3)))
     full = float(images.shape[1] * images.shape[2] * images.shape[3])
     return (jnp.abs(content - full) > threshold).astype(jnp.float32)
+
+
+def get_dist_pck(pred: jax.Array, gt: jax.Array,
+                 norm_lm_ids=(4, 5)) -> jax.Array:
+    """Reference-landmark-normalized joint distances, layout
+    ``[1, J, B]`` like the reference (eval.py:274-298 ``_getDistPCK``):
+    per-sample L2 distances divided by the gt distance between the two
+    normalization landmarks."""
+    ref = jnp.linalg.norm(gt[:, norm_lm_ids[0]] - gt[:, norm_lm_ids[1]],
+                          axis=-1)                     # [B]
+    dist = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # [B, J]
+    return (dist / ref[:, None]).T[None]

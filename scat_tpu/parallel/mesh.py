@@ -20,6 +20,7 @@ import os
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -60,8 +61,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pad_batch_to_multiple(batch, multiple: int):
+    """Pad the leading axis of every leaf up to a multiple of the data
+    axis, marking padding rows invalid in the ``valid`` mask (the
+    static-shape counterpart of the reference's dynamic batch slicing,
+    SURVEY.md §2.2)."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not leaves:
+        return batch
+    n = leaves[0].shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch
+    pad = multiple - rem
+
+    def pad_leaf(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    padded = {k: pad_leaf(v) for k, v in batch.items()}
+    valid = padded.get("valid")
+    if valid is None:
+        valid = jnp.ones((n + pad,), jnp.float32)
+    valid = valid.at[n:].set(0.0)
+    padded["valid"] = valid
+    return padded
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, batch-axis sharded."""
+    """Place a host batch pytree onto the mesh, batch-axis sharded.
+    Batches whose leading dim doesn't divide the data axis are padded
+    with masked samples."""
+    if isinstance(batch, dict):
+        batch = pad_batch_to_multiple(batch, mesh.shape[DATA_AXIS])
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)

@@ -56,11 +56,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 variables, images, train=True,
                 rngs={"mask": mask_key, "dropout": dropout_key},
                 mutable=["batch_stats"])
-            if pl_reg:
-                pred, feat_visual, pl_grad = outputs
-            else:
-                pred, feat_visual = outputs[0], outputs[1]
-                pl_grad = None
+            # Output contracts: (pred, fmap[, attn][, pl_grad]) — the
+            # coarse head inserts attn (reference hand_net.py:306-311);
+            # pl_grad is always last when pl_reg is on.
+            if not isinstance(outputs, tuple):
+                outputs = (outputs,)
+            pred = outputs[0]
+            pl_grad = outputs[-1] if pl_reg else None
             _, j3d, j2d = predictions_to_keypoints(pred)
             breakdown, new_pl = losses_lib.scat_loss(
                 j3d.reshape(-1, 63), j2d.reshape(-1, 42), labels,

@@ -1,1 +1,8 @@
-from scat_tpu.utils import checkpoint  # noqa: F401
+from scat_tpu.utils import (  # noqa: F401
+    checkpoint,
+    debugging,
+    logging,
+    profiling,
+    smplx_glue,
+    torch_import,
+)

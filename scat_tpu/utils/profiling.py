@@ -1,0 +1,95 @@
+"""Tracing / profiling harness.
+
+The reference captures t0..t6 wall-clock checkpoints around
+data/forward/loss/backward and never reports them (reference
+train.py:128-208); eval prints per-batch FPS (eval.py:955-957).  This
+module is the structured replacement: device-synchronized step timing,
+samples/sec/chip counters (the BASELINE metric), and a context manager
+around ``jax.profiler`` traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+class StepTimer:
+    """Rolling samples/sec + ms/step with correct device sync."""
+
+    def __init__(self, batch_size: int, warmup: int = 1):
+        self.batch_size = batch_size
+        self.warmup = warmup
+        self.reset()
+
+    def reset(self):
+        self._steps = 0
+        self._t0 = None
+        self._elapsed = 0.0
+
+    def tick(self, result=None):
+        """Call once per step with the step output (synced before the
+        clock stops so async dispatch doesn't hide device time)."""
+        if result is not None:
+            jax.block_until_ready(result)
+        now = time.perf_counter()
+        if self._steps >= self.warmup and self._t0 is not None:
+            self._elapsed += now - self._t0
+        self._t0 = now
+        self._steps += 1
+
+    @property
+    def counted_steps(self) -> int:
+        return max(self._steps - self.warmup, 0)
+
+    @property
+    def ms_per_step(self) -> float:
+        n = self.counted_steps
+        return self._elapsed / n * 1000 if n else float("nan")
+
+    @property
+    def samples_per_sec(self) -> float:
+        n = self.counted_steps
+        return (self.batch_size * n / self._elapsed
+                if n and self._elapsed else float("nan"))
+
+    def samples_per_sec_per_chip(self) -> float:
+        return self.samples_per_sec / jax.device_count()
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: Optional[str]):
+    """jax.profiler trace context (no-op when log_dir is None)."""
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def benchmark_fn(fn: Callable, *args, iters: int = 20, warmup: int = 1,
+                 batch_size: Optional[int] = None) -> Dict[str, float]:
+    """Compile + time a jitted callable; returns ms/step and optional
+    samples/sec figures."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(max(warmup - 1, 0)):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    res = {"ms_per_step": dt / iters * 1000}
+    if batch_size is not None:
+        res["samples_per_sec"] = batch_size * iters / dt
+        res["samples_per_sec_per_chip"] = (res["samples_per_sec"]
+                                           / jax.device_count())
+    return res
