@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host input pipeline
+(native/scat_native.cpp): libjpeg/libpng decode + fused affine warp +
+normalize in a C++ thread pool, overlapping the TPU step.
+
+Falls back to the PIL + on-device path transparently when the shared
+library hasn't been built (``native/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+_SO_PATH = os.path.join(_REPO_ROOT, "native", "libscat_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    script = os.path.join(_REPO_ROOT, "native", "build.sh")
+    try:
+        subprocess.run(["bash", script], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) and auto_build:
+        _build()
+    if not os.path.exists(_SO_PATH):
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.scat_decode_image.restype = ctypes.c_int
+    lib.scat_decode_image.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int]
+    lib.scat_affine_warp_u8.restype = None
+    lib.scat_affine_warp_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int]
+    lib.scat_init_pool.restype = None
+    lib.scat_init_pool.argtypes = [ctypes.c_int]
+    lib.scat_load_batch.restype = ctypes.c_int
+    lib.scat_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def init_pool(n_threads: int = 4) -> None:
+    lib = load_library()
+    if lib:
+        lib.scat_init_pool(n_threads)
+
+
+def decode_image(path: str, height: int, width: int) -> np.ndarray:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.scat_decode_image(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height, width)
+    if rc != 0:
+        raise IOError(f"decode failed ({rc}): {path}")
+    return out
+
+
+def affine_warp(image_u8: np.ndarray, M_inv: np.ndarray, oh: int, ow: int
+                ) -> np.ndarray:
+    """Single-image warp; ``M_inv`` [2,3] output-px -> input-px."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    image_u8 = np.ascontiguousarray(image_u8, np.uint8)
+    Minv = np.ascontiguousarray(M_inv, np.float32).reshape(6)
+    out = np.empty((oh, ow, 3), np.float32)
+    H, W = image_u8.shape[:2]
+    lib.scat_affine_warp_u8(
+        image_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W,
+        Minv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow)
+    return out
+
+
+def load_batch(paths: Sequence[str], height: int, width: int,
+               M_inv: np.ndarray, oh: int = 224, ow: int = 224
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode+warp a batch concurrently.
+
+    Returns (images [N,oh,ow,3] float32 in [-1,1], valid [N] float32) —
+    failed decodes come back all -1 with valid=0, mirroring the
+    reference's empty-crop filter convention (train.py:143-150).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    Minv = np.ascontiguousarray(M_inv, np.float32).reshape(n, 6)
+    out = np.empty((n, oh, ow, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    lib.scat_load_batch(
+        arr, n, height, width,
+        Minv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    valid = (status == 0).astype(np.float32)
+    return out, valid

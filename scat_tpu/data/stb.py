@@ -144,7 +144,16 @@ class STBDataset:
                  batch_size: int = 32,
                  rotation: bool = False, motion_blur: bool = False,
                  use_heatmap: bool = False, shuffle: bool = True,
-                 seed: int = 0, opt: Optional[Options] = None):
+                 seed: int = 0, opt: Optional[Options] = None,
+                 use_native: Optional[bool] = None):
+        # native C++ decode+warp fast path (native/scat_native.cpp);
+        # augmentations that need the full frame fall back to the
+        # on-device pipeline.
+        if use_native is None:
+            from scat_tpu.data import native_loader
+            use_native = (native_loader.available()
+                          and not rotation and not motion_blur)
+        self.use_native = use_native
         self.data_dir = data_dir
         self.batch_size = batch_size
         self.rotation = rotation
@@ -185,6 +194,35 @@ class STBDataset:
         joints_3d = rescale_3d_joints_flip_np(joints_3d.astype(np.float64))
         return joints_3d.astype(np.float32), joints_2d.astype(np.float32)
 
+    def _native_batch(self, idxs) -> Dict[str, jax.Array]:
+        """C++ fast path: host computes the flip+crop affine from the
+        labels, native pool decodes + warps + normalizes."""
+        from scat_tpu.data import native_loader, preprocess
+        B = len(idxs)
+        W, H = 640, 480  # STB SK_color frame size (load_STB.py:150)
+        j3d = np.zeros((B, 21, 3), np.float32)
+        j2d = np.zeros((B, 21, 2), np.float32)
+        for n, i in enumerate(idxs):
+            j3d[n], j2d[n] = self.sample_labels(i)
+        Mf = preprocess.flip_affine(jnp.full((B,), float(W)))
+        ones = jnp.ones((B, 21, 1), jnp.float32)
+        j2f = jnp.einsum("bij,bnj->bni", Mf,
+                         jnp.concatenate([jnp.asarray(j2d), ones], -1))
+        Mc, j2d_out = preprocess.crop_hand_affine(j2f, W, H, 224)
+        M = preprocess.affine_compose(Mc, Mf)
+        Minv = np.asarray(preprocess.affine_invert(M))
+        paths = [self.image_paths[i] for i in idxs]
+        imgs, valid = native_loader.load_batch(paths, H, W, Minv)
+        label = jnp.concatenate(
+            [jnp.asarray(j3d).reshape(B, 63),
+             jnp.asarray(j2d_out).reshape(B, 42)], axis=1)
+        batch = {"image": jnp.asarray(imgs), "label": label,
+                 "valid": jnp.asarray(valid)}
+        if self.use_heatmap:
+            batch["heatmap"] = draw_gaussian_heatmaps(
+                j2d_out / 4.0, 56, 56, radius=8)
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         order = np.arange(len(self.image_paths))
         if self.shuffle:
@@ -193,6 +231,9 @@ class STBDataset:
         B = self.batch_size
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
+            if self.use_native:
+                yield self._native_batch(idxs)
+                continue
             imgs = np.stack([self._load_image(self.image_paths[i])
                              for i in idxs])
             j3d = np.zeros((B, 21, 3), np.float32)

@@ -1,0 +1,90 @@
+"""Native C++ host-pipeline tests: decode parity with PIL, warp parity
+with the on-device affine_sample, batch loader failure semantics, and
+the STB native fast path against the PIL+device path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from scat_tpu.data import native_loader as nl
+from scat_tpu.data import preprocess
+
+pytestmark = pytest.mark.skipif(not nl.available(),
+                                reason="native library not built")
+
+
+def _smooth(h, w, rng=None):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([x * 3 % 256, y * 5 % 256, (x + y) % 256],
+                    -1).astype(np.uint8)
+
+
+def test_png_decode_exact(tmp_path, rng):
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.png")
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(nl.decode_image(p, 48, 64), img)
+
+
+def test_jpeg_decode_matches_pil(tmp_path):
+    img = _smooth(48, 64)
+    p = str(tmp_path / "t.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    got = nl.decode_image(p, 48, 64)
+    want = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_wrong_size_fails(tmp_path):
+    img = _smooth(10, 10)
+    p = str(tmp_path / "t.png")
+    Image.fromarray(img).save(p)
+    with pytest.raises(IOError):
+        nl.decode_image(p, 48, 64)
+
+
+def test_warp_matches_device_affine_sample(rng):
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    M = np.array([[1.7, 0.2, 3.0], [-0.1, 1.5, 1.0]], np.float32)
+    Minv = np.asarray(preprocess.affine_invert(jnp.asarray(M)[None]))[0]
+    native = nl.affine_warp(img, Minv, 32, 40)
+    dev = np.asarray(preprocess.affine_sample(
+        preprocess.normalize_to_unit(
+            jnp.asarray(img, jnp.float32)[None]),
+        jnp.asarray(M)[None], 32, 40, fill=-1.0))[0]
+    np.testing.assert_allclose(native, dev, atol=1e-5)
+
+
+def test_batch_loader_failure_semantics(tmp_path, rng):
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    good = str(tmp_path / "a.png")
+    Image.fromarray(img).save(good)
+    M = np.tile(np.array([[1, 0, 0], [0, 1, 0]], np.float32), (3, 1, 1))
+    imgs, valid = nl.load_batch([good, str(tmp_path / "missing.png"),
+                                 good], 48, 64, M, 48, 64)
+    np.testing.assert_array_equal(valid, [1.0, 0.0, 1.0])
+    assert np.all(imgs[1] == -1.0)
+    ref = img.astype(np.float32) / 255 * 2 - 1
+    np.testing.assert_allclose(imgs[0], ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_stb_native_path_matches_device_path(tmp_path, rng):
+    from tests.test_stb import _write_synthetic_stb
+    from scat_tpu.config import Options
+    from scat_tpu.data import stb
+
+    # synthetic STB uses 640x480 frames like the real dataset
+    data_dir = str(_write_synthetic_stb(tmp_path))
+    opt = Options(data_dir=data_dir, batch_size=4)
+    ds_native = stb.STBDataset("STB_eval", data_dir, 4, shuffle=False,
+                               opt=opt, use_native=True)
+    ds_device = stb.STBDataset("STB_eval", data_dir, 4, shuffle=False,
+                               opt=opt, use_native=False)
+    b_n = next(iter(ds_native))
+    b_d = next(iter(ds_device))
+    np.testing.assert_allclose(np.asarray(b_n["label"]),
+                               np.asarray(b_d["label"]), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(b_n["image"]),
+                               np.asarray(b_d["image"]), atol=1e-4)
