@@ -14,10 +14,25 @@ measured torch-CPU proxy is used if available, else null.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "torch_baseline_result.json")
+
+
+def _load_torch_baseline():
+    """Locally measured torch-CPU throughput of the reference
+    architecture (benchmarks/torch_baseline.py); the reference repo
+    publishes no numbers (BASELINE.md)."""
+    try:
+        with open(_BASELINE_FILE) as f:
+            return json.load(f)["torch_cpu_samples_per_sec"]
+    except Exception:
+        return None
 
 
 def main():
@@ -28,6 +43,13 @@ def main():
     from scat_tpu.training import schedule, steps
     from scat_tpu.training.state import TrainState
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/scat_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     batch_size = 96
     image_size = 224
     mean = assets.load_mean_params()
@@ -66,7 +88,7 @@ def main():
     n_chips = jax.device_count()
     samples_per_sec_chip = batch_size * iters / dt / n_chips
 
-    baseline = None  # reference publishes no numbers (BASELINE.md)
+    baseline = _load_torch_baseline()
     result = {
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec_chip, 2),

@@ -20,39 +20,66 @@ from scat_tpu import assets
 from scat_tpu.ops.geometry import batch_orth_proj_idrot, project_2d
 
 
-def synth_batch(key: jax.Array, batch_size: int, image_size: int = 224,
-                mean_params: Optional[np.ndarray] = None,
-                dtype=jnp.float32) -> Dict[str, jax.Array]:
-    """One deterministic batch: pose-perturbed template joints, weak-persp
-    projection, blob rendering."""
-    if mean_params is None:
-        mean_params = assets.load_mean_params()
-    template = jnp.asarray(mean_params[3:].reshape(21, 3))
-    k1, k2, k3 = jax.random.split(key, 3)
-    jitter = jax.random.normal(k1, (batch_size, 21, 3)) * 0.01
-    joints_3d = template[None] + jitter
+from functools import partial
+
+from scat_tpu.ops.geometry import rodrigues_guarded
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _synth_batch_impl(key: jax.Array, batch_size: int, image_size: int,
+                      template: jax.Array) -> Dict[str, jax.Array]:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    # learnable pose: a global rotation of the template + small jitter
+    # (rotation is recoverable from the rendered pattern; iid jitter
+    # alone would make the image->3D map ill-posed)
+    rotvec = jax.random.normal(k4, (batch_size, 3)) * 0.4
+    R = rodrigues_guarded(rotvec)
+    rotated = jnp.einsum("bij,nj->bni", R, template)
+    jitter = jax.random.normal(k1, (batch_size, 21, 3)) * 0.002
+    joints_3d = rotated + jitter
     joints_3d = joints_3d - joints_3d[:, 1:2]  # root-centered like labels
     scale = 5.0 + jax.random.normal(k2, (batch_size, 1)) * 0.3
     trans = jax.random.normal(k3, (batch_size, 2)) * 0.02
     cam = jnp.concatenate([scale, trans], axis=1)
     joints_2d = project_2d(batch_orth_proj_idrot(joints_3d, cam))
 
-    # render blobs: image[y,x] peaks at each 2D joint
+    # render per-joint-distinct blobs (size + per-channel intensity
+    # encode joint identity, so the 2D assignment is learnable)
+    j = jnp.arange(21, dtype=jnp.float32)
+    sigma = (3.0 + 0.35 * j)[None, :, None]
     ys = jnp.arange(image_size, dtype=jnp.float32)
     xs = jnp.arange(image_size, dtype=jnp.float32)
     dy = ys[None, None, :] - joints_2d[:, :, 1:2]   # [B,21,H]
     dx = xs[None, None, :] - joints_2d[:, :, 0:1]   # [B,21,W]
-    gy = jnp.exp(-(dy ** 2) / (2 * 5.0 ** 2))
-    gx = jnp.exp(-(dx ** 2) / (2 * 5.0 ** 2))
-    blobs = jnp.einsum("bjh,bjw->bhw", gy, gx)
-    img = jnp.clip(blobs, 0.0, 1.0) * 2.0 - 1.0     # [-1,1] like Normalize
-    images = jnp.repeat(img[..., None], 3, axis=-1).astype(dtype)
+    gy = jnp.exp(-(dy ** 2) / (2 * sigma ** 2))
+    gx = jnp.exp(-(dx ** 2) / (2 * sigma ** 2))
+    chan = jnp.stack([0.3 + 0.7 * jnp.cos(j) ** 2,
+                      0.3 + 0.7 * jnp.sin(j) ** 2,
+                      0.3 + 0.7 * jnp.cos(2 * j) ** 2], axis=-1)  # [21,3]
+    blobs = jnp.einsum("bjh,bjw,jc->bhwc", gy, gx, chan)
+    images = jnp.clip(blobs, 0.0, 1.0) * 2.0 - 1.0  # [-1,1]
 
     labels = jnp.concatenate(
         [joints_3d.reshape(batch_size, 63),
          joints_2d.reshape(batch_size, 42)], axis=1)
     return {"image": images, "label": labels,
             "valid": jnp.ones((batch_size,), jnp.float32)}
+
+
+def synth_batch(key: jax.Array, batch_size: int, image_size: int = 224,
+                mean_params: Optional[np.ndarray] = None,
+                dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """One deterministic batch: globally-rotated template joints,
+    weak-persp projection, identity-coded blob rendering.  Jitted (the
+    renderer is ~40 fused ops; eager dispatch would dominate step time).
+    """
+    if mean_params is None:
+        mean_params = assets.load_mean_params()
+    template = jnp.asarray(mean_params[3:].reshape(21, 3))
+    batch = _synth_batch_impl(key, batch_size, image_size, template)
+    if dtype != jnp.float32:
+        batch = dict(batch, image=batch["image"].astype(dtype))
+    return batch
 
 
 class SyntheticDataset:

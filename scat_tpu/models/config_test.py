@@ -1,0 +1,23 @@
+"""Standalone option surface for module-level smoke runs.
+
+Reference models/config_test.py:4-76 is a near-duplicate of the main
+``BaseOptions`` used by ``__main__`` blocks, with different defaults
+(``vit_heads=4``, no ``pl_reg``).  Here it reuses the single Options
+dataclass with those defaults applied.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from scat_tpu.config import BaseOptions as _BaseOptions, Options
+
+
+class BaseOptions(_BaseOptions):
+    """Smoke-run options (reference config_test.py defaults)."""
+
+    def parse(self, argv=None) -> Options:
+        opt = super().parse(argv)
+        if argv is None or "--vit_heads" not in (argv or []):
+            opt = dataclasses.replace(opt, vit_heads=4)
+        return opt

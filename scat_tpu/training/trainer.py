@@ -27,6 +27,19 @@ from scat_tpu.training.state import TrainState
 from scat_tpu.utils import checkpoint as ckpt_lib
 
 
+def _enable_compilation_cache(path: str = "~/.cache/scat_tpu_xla"):
+    """Persistent XLA compilation cache — first compiles of the fused
+    train step take minutes on TPU; cached reruns are near-instant."""
+    try:
+        import os
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def make_dataset(opt: Options, image_size: int, training: bool = True):
     if opt.synthetic_data:
         return SyntheticDataset(opt.batch_size,
@@ -55,6 +68,7 @@ class Trainer:
         self.l_weight_2d = opt.l_weight_2d
 
         mesh_lib.maybe_initialize_distributed()
+        _enable_compilation_cache()
         self.mesh = mesh_lib.make_mesh(opt.mesh_axes())
 
         if opt.net == "reg_transformer":
@@ -103,10 +117,19 @@ class Trainer:
             running_loss = loss_3d = loss_2d = loss_pl = 0.0
             t_epoch = time.time()
             n_samples = 0
-            for i, batch in enumerate(self.train_loader):
-                batch = mesh_lib.shard_batch(self.mesh, batch)
-                self.state, stats = self.train_step(self.state, batch)
-                n_samples += self.batch_size
+            for i, batches in enumerate(self.train_loader):
+                # ConcatDataset yields a tuple of per-dataset batches;
+                # process each like the reference's inner loop
+                # (train.py:136-138).  jit re-specializes per label
+                # width (105 vs 166) — two cached programs, not a
+                # recompile per step.
+                if isinstance(batches, dict):
+                    batches = (batches,)
+                for batch in batches:
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                    self.state, stats = self.train_step(self.state,
+                                                        batch)
+                    n_samples += self.batch_size
                 running_loss += float(stats["loss"])
                 loss_3d += float(stats["loss_3d"])
                 loss_2d += float(stats["loss_2d"])
