@@ -88,6 +88,17 @@ def main():
     n_chips = jax.device_count()
     samples_per_sec_chip = batch_size * iters / dt / n_chips
 
+    # inference throughput (reference eval FPS protocol, eval.py:955-957)
+    infer = jax.jit(lambda p, bs_, img: model.apply(
+        {"params": p, "batch_stats": bs_}, img, train=False)[0])
+    out = infer(state.params, state.batch_stats, batch["image"])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(state.params, state.batch_stats, batch["image"])
+    jax.block_until_ready(out)
+    infer_sps = batch_size * iters / (time.perf_counter() - t0) / n_chips
+
     baseline = _load_torch_baseline()
     result = {
         "metric": "train_samples_per_sec_per_chip",
@@ -95,6 +106,9 @@ def main():
         "unit": "hand-crops/s/chip",
         "vs_baseline": (round(samples_per_sec_chip / baseline, 2)
                         if baseline else None),
+        "infer_samples_per_sec_per_chip": round(infer_sps, 2),
+        "batch_size": batch_size,
+        "n_chips": n_chips,
     }
     print(json.dumps(result))
 

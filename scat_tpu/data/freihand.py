@@ -96,12 +96,15 @@ class FreiHANDDataset:
 
     def __init__(self, data_dir: str, split: str = "training",
                  batch_size: int = 32, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, color_jitter: bool = True):
         self.data_dir = data_dir
         self.split = split
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        # ColorJitter(0.5, 0.5, 0.5, 0.1) on the training split
+        # (reference load_test_dataset.py:72-79)
+        self.color_jitter = color_jitter and split == "training"
         with open(os.path.join(data_dir, f"{split}_K.json")) as f:
             self.K = np.asarray(json.load(f), np.float32)
         with open(os.path.join(data_dir, f"{split}_xyz.json")) as f:
@@ -150,11 +153,18 @@ class FreiHANDDataset:
         if self.shuffle:
             np.random.RandomState(self.seed).shuffle(order)
         B = self.batch_size
+        import jax as _jax
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
             imgs = np.stack([self._load_image(i) for i in idxs])
             labels = np.stack([self.sample_labels(i) for i in idxs])
-            yield {"image": normalize_to_unit(jnp.asarray(imgs)),
+            images = normalize_to_unit(jnp.asarray(imgs))
+            if self.color_jitter:
+                from scat_tpu.data.preprocess import color_jitter
+                images = color_jitter(
+                    _jax.random.fold_in(_jax.random.key(self.seed), b),
+                    images)
+            yield {"image": images,
                    "label": jnp.asarray(labels),
                    "valid": jnp.ones((B,), jnp.float32)}
 

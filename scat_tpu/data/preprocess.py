@@ -203,3 +203,44 @@ def fused_crop_pipeline(images: jax.Array, joints_2d: jax.Array,
     out = affine_sample(normalize_to_unit(images), M, out_size, out_size,
                         fill=-1.0)
     return out, joints
+
+
+def color_jitter(key: jax.Array, images: jax.Array,
+                 brightness: float = 0.5, contrast: float = 0.5,
+                 saturation: float = 0.5, hue: float = 0.1) -> jax.Array:
+    """Device ColorJitter over a batch in [-1,1] NHWC (the train-split
+    augmentation of the FreiHAND-style transform, reference
+    load_test_dataset.py:72-79).
+
+    Matches torchvision semantics: factors drawn uniformly from
+    [max(0, 1-x), 1+x] for brightness/contrast/saturation and
+    [-hue, hue] for hue (applied as a channel rotation approximation).
+    """
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    B = images.shape[0]
+    x = (images + 1.0) * 0.5  # [0,1]
+
+    def factor(k, amt):
+        return jax.random.uniform(k, (B, 1, 1, 1),
+                                  minval=max(0.0, 1.0 - amt),
+                                  maxval=1.0 + amt)
+
+    x = x * factor(kb, brightness)                       # brightness
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) * factor(kc, contrast) + mean         # contrast
+    grey = x.mean(axis=-1, keepdims=True)
+    x = (x - grey) * factor(ks, saturation) + grey       # saturation
+    if hue > 0:
+        theta = jax.random.uniform(kh, (B, 1, 1),
+                                   minval=-hue, maxval=hue) * 2 * jnp.pi
+        # approximate hue rotation via YIQ chroma rotation
+        y = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        i = (0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2])
+        q = (0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2])
+        ir = i * jnp.cos(theta) - q * jnp.sin(theta)
+        qr = i * jnp.sin(theta) + q * jnp.cos(theta)
+        r = y + 0.956 * ir + 0.621 * qr
+        g = y - 0.272 * ir - 0.647 * qr
+        b = y - 1.106 * ir + 1.703 * qr
+        x = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(x, 0.0, 1.0) * 2.0 - 1.0

@@ -108,10 +108,13 @@ class DemoRunner:
                    "ho3d": "GPMF11"}[eval_set]
             if eval_set == "STB":
                 loader = stb_vibe_demo(seq, opt)
+            elif eval_set == "ho3d":
+                loader = ho3d_vibe_demo(seq, opt)
             else:
                 raise NotImplementedError(
                     f"{eval_set} demo sequences require the {eval_set} "
-                    "dataset on disk; pass a SequenceLoader explicitly")
+                    "dataset on disk (the MHP loader is absent from the "
+                    "public reference too); pass a SequenceLoader")
         time_seq = min(loader.seq_len(), 200)
         mpjpe = np.zeros(time_seq)
         pck_all = np.zeros((len(RNGE), 22))
@@ -226,3 +229,25 @@ class DemoRunner:
         cv2.imwrite(os.path.join(self.result_dir, f"img/{n:03d}.png"),
                     image_save[:, :, ::-1])
         plt.close()
+
+
+def ho3d_vibe_demo(seq_name: str, opt: Options) -> SequenceLoader:
+    """ho3d_VIBE_demo stand-in (missing class, imported eval.py:48):
+    sequential frames of one HO-3D sequence."""
+    from scat_tpu.data import ho3d as ho3d_lib
+    import os as _os
+    data_dir = _os.path.join(
+        _os.path.dirname(opt.data_dir.rstrip("/")), "HO3D")
+    if not _os.path.isdir(data_dir):
+        data_dir = opt.data_dir
+    ds = ho3d_lib.HO3DDataset(data_dir, "train", batch_size=1,
+                              shuffle=False, seed=opt.seed)
+    keep = [(r, m) for (r, m) in ds.samples if seq_name in r][:200]
+    images, j2d, j3d = [], [], []
+    for rgb_path, meta_path in keep:
+        label, kp2 = ds.sample_labels(meta_path)
+        images.append(ds._load_image(rgb_path))
+        j3d.append(label[61:124].reshape(21, 3))
+        j2d.append(kp2)
+    return SequenceLoader(np.stack(images), np.stack(j2d).astype(np.float32),
+                          np.stack(j3d).astype(np.float32))

@@ -121,3 +121,37 @@ def make_eval_step(model, pl_reg: bool = False,
         }
 
     return eval_step
+
+
+def make_fused_preprocess_train_step(
+        model, tx: optax.GradientTransformation,
+        l_weight_3d: float, l_weight_2d: float,
+        out_size: int = 224, pl_reg: bool = False,
+        ema_reset_compat: bool = True):
+    """Train step with the image preprocessing fused INTO the program.
+
+    Batch contract: ``raw_image`` uint8 [B,H,W,3] frames, ``affine``
+    [B,2,3] (input-px -> crop-px, from crop_hand_affine and friends),
+    ``label``, ``valid``.  The warp + normalize + forward + loss +
+    backward + update compile as ONE XLA program — no separate
+    preprocessing dispatch between steps (the BASELINE.json north-star
+    fused on-device stage, taken to its endpoint).
+    """
+    from scat_tpu.data import preprocess
+
+    inner = make_train_step(model, tx, l_weight_3d, l_weight_2d,
+                            pl_reg=pl_reg,
+                            ema_reset_compat=ema_reset_compat)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        raw = batch["raw_image"].astype(jnp.float32)
+        images = preprocess.affine_sample(
+            preprocess.normalize_to_unit(raw), batch["affine"],
+            out_size, out_size, fill=-1.0)
+        inner_batch = {"image": images, "label": batch["label"],
+                       "valid": batch.get(
+                           "valid",
+                           jnp.ones((raw.shape[0],), jnp.float32))}
+        return inner(state, inner_batch)
+
+    return train_step

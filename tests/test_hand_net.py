@@ -166,3 +166,47 @@ def test_eval_step_metrics(rng):
     assert out["pck"].shape == (7, 22)
     assert out["mpjpe_per_sample"].shape == (4,)
     assert np.all(np.isfinite(np.asarray(out["mpjpe_per_sample"])))
+
+
+def test_fused_preprocess_train_step(rng):
+    """Raw frames + affines in, one XLA program does warp+train; output
+    matches preprocessing outside the step."""
+    from scat_tpu.data import preprocess
+    mean = assets.load_mean_params()
+    model = EncoderTransformer(mean_params=jnp.asarray(mean), iteration=1,
+                               heads=2, depth=3, backbone="resnet18",
+                               mask_rate=0.0, token_dim=TOKEN_DIM)
+    B, H, W = 2, 96, 128
+    raw = (rng.rand(B, H, W, 3) * 255).astype(np.uint8)
+    j2d = jnp.asarray(rng.rand(B, 21, 2) * jnp.asarray([W, H]),
+                      jnp.float32)
+    M, j2d_out = preprocess.crop_hand_affine(j2d, W, H, IMG)
+    labels = jnp.concatenate(
+        [jnp.asarray(rng.randn(B, 63) * 0.01, jnp.float32),
+         j2d_out.reshape(B, 42)], axis=1)
+    batch_raw = {"raw_image": jnp.asarray(raw), "affine": M,
+                 "label": labels,
+                 "valid": jnp.ones((B,), jnp.float32)}
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((B, IMG, IMG, 3), jnp.float32))
+    tx = schedule.make_optimizer(1e-4, 1)
+
+    def fresh():
+        return TrainState.create(variables["params"],
+                                 variables["batch_stats"], tx,
+                                 jax.random.key(2))
+
+    fused = jax.jit(steps.make_fused_preprocess_train_step(
+        model, tx, 1e5, 10.0, out_size=IMG))
+    _, stats_fused = fused(fresh(), batch_raw)
+
+    # reference: preprocess outside, standard step inside
+    images = preprocess.affine_sample(
+        preprocess.normalize_to_unit(jnp.asarray(raw, jnp.float32)), M,
+        IMG, IMG, fill=-1.0)
+    plain = jax.jit(steps.make_train_step(model, tx, 1e5, 10.0))
+    _, stats_plain = plain(fresh(), {"image": images, "label": labels,
+                                     "valid": jnp.ones((B,))})
+    np.testing.assert_allclose(float(stats_fused["loss"]),
+                               float(stats_plain["loss"]), rtol=1e-4)

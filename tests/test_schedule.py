@@ -1,0 +1,50 @@
+"""Optimizer schedule parity: the reference's GradualWarmupScheduler
+(multiplier=1, total_epoch=15) stepped per-epoch with epoch+1 over a
+StepLR(gamma=1) after_scheduler (reference train.py:60-63,134)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scat_tpu.training.schedule import make_optimizer, warmup_schedule
+
+
+def test_warmup_matches_reference_semantics():
+    base, spe = 5e-4, 100
+    sched = warmup_schedule(base, steps_per_epoch=spe, warmup_epochs=15)
+    # epoch e (0-based): reference lr = base * (e+1)/15, capped at base
+    for epoch in [0, 1, 7, 14, 15, 20, 39]:
+        step = epoch * spe + 3
+        want = base * min((epoch + 1) / 15, 1.0)
+        np.testing.assert_allclose(float(sched(jnp.asarray(step))), want,
+                                   rtol=1e-6)
+
+
+def test_lr_constant_within_epoch():
+    sched = warmup_schedule(1e-3, steps_per_epoch=50, warmup_epochs=15)
+    vals = {float(sched(jnp.asarray(s))) for s in range(50)}
+    assert len(vals) == 1  # per-epoch staircase, not per-step ramp
+
+
+def test_make_optimizer_steps():
+    import jax
+    import optax
+    tx = make_optimizer(1e-3, steps_per_epoch=1, warmup_epochs=1)
+    params = {"w": jnp.ones(4)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(4)}
+    updates, state = tx.update(g, state, params)
+    # Adam first step: update magnitude == lr (within eps)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -1e-3,
+                               rtol=1e-3)
+
+
+def test_color_jitter_ranges(rng):
+    import jax
+    from scat_tpu.data.preprocess import color_jitter
+    x = jnp.asarray(rng.rand(2, 16, 16, 3) * 2 - 1, jnp.float32)
+    y = color_jitter(jax.random.key(0), x)
+    assert y.shape == x.shape
+    assert float(y.min()) >= -1.0 and float(y.max()) <= 1.0
+    # zero strength == identity
+    z = color_jitter(jax.random.key(0), x, 0, 0, 0, 0)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
