@@ -72,32 +72,71 @@ def main():
     mesh = mesh_lib.make_mesh()
     state = mesh_lib.replicate_state(mesh, state)
     batch = mesh_lib.shard_batch(mesh, batch)
-    step = mesh_lib.jit_train_step(
-        steps.make_train_step(model, tx, 1e5, 10.0), mesh)
 
-    # warmup / compile
-    state, stats = step(state, batch)
-    jax.block_until_ready(stats)
-
+    # Timing methodology: the remote-execution layer both memoizes
+    # identical launches and adds per-launch input-processing overhead,
+    # so per-dispatch python loops mismeasure in both directions.  The
+    # device-true numbers come from rolling K steps into ONE program
+    # with lax.scan/lax.map and timing that single launch.
     iters = 20 if on_tpu else 3
+
+    def train_k(state, batch):
+        def body(s, _):
+            s2, st = step_fn(s, batch)
+            return s2, st["loss"]
+        return jax.lax.scan(body, state, None, length=iters)
+
+    step_fn = steps.make_train_step(model, tx, 1e5, 10.0)
+    train_k_jit = jax.jit(train_k, donate_argnums=(0,))
+    state, losses = train_k_jit(state, batch)
+    jax.block_until_ready(losses)     # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, stats = step(state, batch)
-    jax.block_until_ready(stats)
+    state, losses = train_k_jit(state, batch)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
     n_chips = jax.device_count()
     samples_per_sec_chip = batch_size * iters / dt / n_chips
 
-    # inference throughput (reference eval FPS protocol, eval.py:955-957)
-    infer = jax.jit(lambda p, bs_, img: model.apply(
-        {"params": p, "batch_stats": bs_}, img, train=False)[0])
-    out = infer(state.params, state.batch_stats, batch["image"])
-    jax.block_until_ready(out)
+    # inference (reference eval FPS protocol, eval.py:955-957):
+    # generate inputs ON DEVICE inside the program (the launch input is
+    # a tiny PRNG key, sidestepping per-launch input-processing costs),
+    # run K forwards, and subtract the separately-measured datagen time.
+    from scat_tpu.data.synthetic import _synth_batch_impl
+    template = jnp.asarray(mean[3:].reshape(21, 3))
+    K = 8
+
+    def gen_only(key):
+        def body(i, acc):
+            b = _synth_batch_impl(jax.random.fold_in(key, i),
+                                  batch_size, image_size, template)
+            return acc + jnp.sum(b["image"][0, 0, 0])
+        return jax.lax.fori_loop(0, K, body, 0.0)
+
+    def gen_and_infer(p, bs_, key):
+        def body(i, acc):
+            b = _synth_batch_impl(jax.random.fold_in(key, i),
+                                  batch_size, image_size, template)
+            pred = model.apply({"params": p, "batch_stats": bs_},
+                               b["image"], train=False)[0]
+            return acc + jnp.sum(pred)
+        return jax.lax.fori_loop(0, K, body, 0.0)
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        return out
+
+    gen_jit = jax.jit(gen_only)
+    both_jit = jax.jit(gen_and_infer)
+    timed(gen_jit, jax.random.key(1))
+    timed(both_jit, state.params, state.batch_stats, jax.random.key(2))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(state.params, state.batch_stats, batch["image"])
-    jax.block_until_ready(out)
-    infer_sps = batch_size * iters / (time.perf_counter() - t0) / n_chips
+    timed(gen_jit, jax.random.key(3))
+    t_gen = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    timed(both_jit, state.params, state.batch_stats, jax.random.key(4))
+    t_both = time.perf_counter() - t0
+    infer_sps = batch_size * K / max(t_both - t_gen, 1e-6) / n_chips
 
     baseline = _load_torch_baseline()
     result = {

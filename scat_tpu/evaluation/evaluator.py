@@ -63,7 +63,8 @@ class Evaluator:
         self.result_dir = opt.result_dir
         os.makedirs(self.result_dir, exist_ok=True)
         self.mesh = mesh_lib.make_mesh(opt.mesh_axes())
-        self.model, self.mean_params = build_model(opt, image_size)
+        self.model, self.mean_params = build_model(opt, image_size,
+                                                   for_keypoints=True)
         self.dataset = dataset
 
         if variables is None:

@@ -17,7 +17,7 @@ from scat_tpu import assets
 from scat_tpu.config import Options
 from scat_tpu.models.hand_net import (
     EncoderTransformer, EncoderTransformerCoarse, EncoderTransformerHRNet,
-    EncoderTransformerInception, H3DWEncoder)
+    EncoderTransformerInception, H3DWEncoder, H3DWJointsEncoder)
 from scat_tpu.models.performer import ViP
 from scat_tpu.models.vit import ViT
 
@@ -26,8 +26,14 @@ def _dtype(opt: Options):
     return jnp.dtype(opt.compute_dtype)
 
 
-def build_model(opt: Options, image_size: int = 224):
-    """Returns ``(flax module, mean_params ndarray)`` for ``opt.net``."""
+def build_model(opt: Options, image_size: int = 224,
+                for_keypoints: bool = False):
+    """Returns ``(flax module, mean_params ndarray)`` for ``opt.net``.
+
+    ``for_keypoints=True`` wraps MANO-parameter heads (frankmocap) with
+    the in-graph decode so they satisfy the 66-dim camera+joints
+    contract the keypoint eval/train steps consume (the reference
+    decodes outside the model, test.py:332-348)."""
     token_dim = (image_size // 8) ** 2
     if opt.net in ("reg_transformer", "reg_transformer_coarse"):
         mean = assets.load_mean_params(outside=opt.outside)
@@ -62,7 +68,8 @@ def build_model(opt: Options, image_size: int = 224):
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
             dtype=_dtype(opt))
     elif opt.net == "frankmocap":
-        model = H3DWEncoder(mean_params=mean_j, dtype=_dtype(opt))
+        cls = H3DWJointsEncoder if for_keypoints else H3DWEncoder
+        model = cls(mean_params=mean_j, dtype=_dtype(opt))
     elif opt.net == "ViT":
         model = ViT(mean_params=mean_j, image_size=image_size,
                     dim=opt.vit_dim, depth=opt.vit_depth,

