@@ -50,8 +50,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass
-    batch_size = 96
-    image_size = 224
+    # env overrides let CI/CPU smoke runs use tiny shapes
+    batch_size = int(os.environ.get("SCAT_BENCH_BS", 96))
+    image_size = int(os.environ.get("SCAT_BENCH_IMG", 224))
     mean = assets.load_mean_params()
     on_tpu = jax.devices()[0].platform != "cpu"
     model = EncoderTransformer(

@@ -108,6 +108,7 @@ class Options:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"   # backbone/transformer compute dtype
     use_pallas_attention: bool = True
+    norm_layer: str = "batch"  # "batch" (parity) | "group" (fast train)
     seed: int = 0
     steps_per_epoch: int = 0          # 0 = derive from dataset length
     log_every: int = 10               # loss print cadence (train.py:230)

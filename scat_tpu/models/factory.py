@@ -49,6 +49,7 @@ def build_model(opt: Options, image_size: int = 224,
             heads=opt.vit_heads, depth=opt.vit_depth,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
             pl_reg=opt.pl_reg, token_dim=token_dim,
+            norm_layer=opt.norm_layer,
             use_pallas=opt.use_pallas_attention, dtype=_dtype(opt))
     elif opt.net == "reg_transformer_coarse":
         model = EncoderTransformerCoarse(

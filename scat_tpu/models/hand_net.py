@@ -73,12 +73,13 @@ class EncoderTransformer(nn.Module):
     num_tokens: int = 21
     token_dim: int = 784  # x2 spatial size squared (28*28 at 224 input)
     backbone: str = "resnet50"
+    norm_layer: str = "batch"
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.main_encoder = resnet_lib.get_model(self.backbone,
-                                                 dtype=self.dtype)
+        self.main_encoder = resnet_lib.get_model(
+            self.backbone, dtype=self.dtype, norm_layer=self.norm_layer)
         self.conv1x1 = nn.Conv(self.num_tokens, (1, 1), use_bias=False,
                                dtype=self.dtype,
                                name="conv1x1_channel_reduction")

@@ -23,6 +23,29 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+def make_norm(norm_layer: str, train: bool, dtype):
+    """Normalization factory.  "batch" matches the reference
+    (torch BN, momentum 0.1); "group" (32 groups) is the TPU-friendly
+    swap — identical cost in train and eval modes (no batch-statistics
+    passes, which cost ~2.8x on the training forward) and trivially
+    correct under any sharding (SURVEY.md §2.10 parity flag)."""
+    if norm_layer == "batch":
+        return partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=dtype)
+
+    def group_norm(name=None):
+        # num_groups adapts to narrow stem widths
+        class _GN(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                groups = min(32, x.shape[-1])
+                return nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                    dtype=dtype)(x)
+        return _GN(name=name)
+
+    return group_norm
+
+
 class BasicBlock(nn.Module):
     """reference resnet.py:30-59."""
 
@@ -86,13 +109,13 @@ class ResNet(nn.Module):
     block: ModuleDef
     stage_sizes: Sequence[int]
     num_features: int = 1024
+    norm_layer: str = "batch"   # "batch" (reference parity) | "group"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        norm = make_norm(self.norm_layer, train, self.dtype)
 
         x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                  name="conv1")(x)
@@ -119,24 +142,29 @@ class ResNet(nn.Module):
         return feat.astype(jnp.float32), x1, x2, x3, x4
 
 
-def resnet18(dtype=jnp.float32):
-    return ResNet(block=BasicBlock, stage_sizes=[2, 2, 2, 2], dtype=dtype)
+def resnet18(dtype=jnp.float32, norm_layer="batch"):
+    return ResNet(block=BasicBlock, stage_sizes=[2, 2, 2, 2],
+                  norm_layer=norm_layer, dtype=dtype)
 
 
-def resnet34(dtype=jnp.float32):
-    return ResNet(block=BasicBlock, stage_sizes=[3, 4, 6, 3], dtype=dtype)
+def resnet34(dtype=jnp.float32, norm_layer="batch"):
+    return ResNet(block=BasicBlock, stage_sizes=[3, 4, 6, 3],
+                  norm_layer=norm_layer, dtype=dtype)
 
 
-def resnet50(dtype=jnp.float32):
-    return ResNet(block=Bottleneck, stage_sizes=[3, 4, 6, 3], dtype=dtype)
+def resnet50(dtype=jnp.float32, norm_layer="batch"):
+    return ResNet(block=Bottleneck, stage_sizes=[3, 4, 6, 3],
+                  norm_layer=norm_layer, dtype=dtype)
 
 
-def resnet101(dtype=jnp.float32):
-    return ResNet(block=Bottleneck, stage_sizes=[3, 4, 23, 3], dtype=dtype)
+def resnet101(dtype=jnp.float32, norm_layer="batch"):
+    return ResNet(block=Bottleneck, stage_sizes=[3, 4, 23, 3],
+                  norm_layer=norm_layer, dtype=dtype)
 
 
-def resnet152(dtype=jnp.float32):
-    return ResNet(block=Bottleneck, stage_sizes=[3, 8, 36, 3], dtype=dtype)
+def resnet152(dtype=jnp.float32, norm_layer="batch"):
+    return ResNet(block=Bottleneck, stage_sizes=[3, 8, 36, 3],
+                  norm_layer=norm_layer, dtype=dtype)
 
 
 _ARCHS = {
@@ -145,8 +173,9 @@ _ARCHS = {
 }
 
 
-def get_model(arch: str, dtype=jnp.float32) -> ResNet:
+def get_model(arch: str, dtype=jnp.float32,
+              norm_layer: str = "batch") -> ResNet:
     """Backbone factory by name (reference hand_net.py:21-26)."""
     if arch not in _ARCHS:
         raise ValueError("Invalid Backbone Architecture")
-    return _ARCHS[arch](dtype=dtype)
+    return _ARCHS[arch](dtype=dtype, norm_layer=norm_layer)
