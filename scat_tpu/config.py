@@ -161,6 +161,19 @@ class BaseOptions:
         self.parser = parser
 
     def parse(self, argv: Optional[Sequence[str]] = None) -> Options:
+        # two-pass: --compat_argparse_bool on the command line switches
+        # the boolean parser to the reference's truthy-string semantics
+        # BEFORE the real parse (otherwise the flag would be dead).
+        import sys
+        raw = list(sys.argv[1:] if argv is None else argv)
+        if any(a.split("=")[0] == "--compat_argparse_bool"
+               for a in raw):
+            probe = argparse.ArgumentParser(add_help=False)
+            probe.add_argument("--compat_argparse_bool", type=str2bool,
+                               default=False)
+            peek, _ = probe.parse_known_args(raw)
+            if peek.compat_argparse_bool:
+                self.__init__(compat_argparse_bool=True)
         ns = self.parser.parse_args(argv)
         return Options(**vars(ns))
 

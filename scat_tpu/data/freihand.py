@@ -149,9 +149,11 @@ class FreiHANDDataset:
         return np.asarray(img)
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        epoch = getattr(self, "_epoch", 0)
+        self._epoch = epoch + 1
         order = np.arange(self.n_images)
         if self.shuffle:
-            np.random.RandomState(self.seed).shuffle(order)
+            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
         B = self.batch_size
         import jax as _jax
         for b in range(len(self)):
@@ -162,7 +164,8 @@ class FreiHANDDataset:
             if self.color_jitter:
                 from scat_tpu.data.preprocess import color_jitter
                 images = color_jitter(
-                    _jax.random.fold_in(_jax.random.key(self.seed), b),
+                    _jax.random.fold_in(
+                        _jax.random.key(self.seed + 9973 * epoch), b),
                     images)
             yield {"image": images,
                    "label": jnp.asarray(labels),
@@ -171,17 +174,27 @@ class FreiHANDDataset:
 
 def get_loader_frei(stage: str = "training", bs: int = 32,
                     opt: Optional[Options] = None) -> FreiHANDDataset:
-    """Factory matching the missing module's surface (eval.py:37)."""
+    """Factory matching the missing module's surface (eval.py:37).
+
+    NOTE: the reference evaluates FreiHAND with ``stage='training'``
+    (eval.py:793) — i.e. on the training split, because the public
+    evaluation split ships without xyz labels.  Non-training stages here
+    use the ``evaluation`` split when its label files exist on disk and
+    fall back to the (reference-matching) training split otherwise.
+    """
     opt = opt or Options()
     data_dir = os.path.join(os.path.dirname(opt.data_dir.rstrip("/")),
                             "FreiHAND")
     if not os.path.isdir(data_dir):
         data_dir = opt.data_dir
-    return FreiHANDDataset(data_dir, "training", bs,
+    split = "training"
+    if stage != "training" and os.path.exists(
+            os.path.join(data_dir, "evaluation_xyz.json")):
+        split = "evaluation"
+    return FreiHANDDataset(data_dir, split, bs,
                            shuffle=(stage == "training"), seed=opt.seed)
 
 
 def get_loader_frei_eval(opt: Optional[Options] = None) -> FreiHANDDataset:
     opt = opt or Options()
-    ds = get_loader_frei("val", opt.batch_size, opt)
-    return ds
+    return get_loader_frei("val", opt.batch_size, opt)

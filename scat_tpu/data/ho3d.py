@@ -81,9 +81,11 @@ class HO3DDataset:
         return np.asarray(Image.open(path).convert("RGB"))
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        epoch = getattr(self, "_epoch", 0)
+        self._epoch = epoch + 1
         order = np.arange(len(self.samples))
         if self.shuffle:
-            np.random.RandomState(self.seed).shuffle(order)
+            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
         B = self.batch_size
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
@@ -106,13 +108,22 @@ class HO3DDataset:
 
 def get_loader_ho3d(stage: str = "training", bs: int = 32,
                     opt: Optional[Options] = None) -> HO3DDataset:
-    """Factory matching the missing module's surface (eval.py:38)."""
+    """Factory matching the missing module's surface (eval.py:38).
+
+    The reference evaluates HO-3D with ``stage='training'``
+    (eval.py:795) — the public evaluation split has no hand labels.
+    Non-training stages use the ``evaluation`` split when present.
+    """
     opt = opt or Options()
     data_dir = os.path.join(os.path.dirname(opt.data_dir.rstrip("/")),
                             "HO3D")
     if not os.path.isdir(data_dir):
         data_dir = opt.data_dir
-    return HO3DDataset(data_dir, "train", bs,
+    split = "train"
+    if stage != "training" and os.path.isdir(
+            os.path.join(data_dir, "evaluation")):
+        split = "evaluation"
+    return HO3DDataset(data_dir, split, bs,
                        shuffle=(stage == "training"), seed=opt.seed)
 
 

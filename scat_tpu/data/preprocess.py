@@ -165,11 +165,13 @@ def affine_sample(images: jax.Array, M_out_from_in: jax.Array,
     return top * (1 - fy) + bot * fy
 
 
-def normalize_to_unit(images_uint_or_float: jax.Array) -> jax.Array:
-    """[0,255] or [0,1] -> [-1,1] (Normalize((.5,.5,.5),(.5,.5,.5)),
-    reference load_STB.py:51-52)."""
-    x = images_uint_or_float.astype(jnp.float32)
-    x = jnp.where(jnp.max(x) > 2.0, x / 255.0, x)
+def normalize_to_unit(images: jax.Array) -> jax.Array:
+    """Pixels in [0,255] (uint8 or float) -> [-1,1]
+    (ToTensor + Normalize((.5,.5,.5),(.5,.5,.5)), reference
+    load_STB.py:51-52).  The input contract is byte-range pixels; the
+    dtype does not matter (no value-dependent heuristics, which would
+    misclassify near-black frames)."""
+    x = images.astype(jnp.float32) / 255.0
     return x * 2.0 - 1.0
 
 
@@ -194,11 +196,18 @@ def fused_crop_pipeline(images: jax.Array, joints_2d: jax.Array,
                           jnp.concatenate([j, ones], -1))
 
     joints = apply(M, joints_2d)
+    crop_w = jnp.full((B,), float(W))
+    crop_h = jnp.full((B,), float(H))
     if angle_deg is not None:
-        R, _, _ = rotate_affine_expand(angle_deg, W, H)
+        # after canvas-expansion rotation the joints live in the
+        # expanded nW x nH frame; the crop bounds must clamp against
+        # THAT canvas (reference crop_hand uses the rotated image.size,
+        # load_STB.py:76-96 after rotation.py:22-30)
+        R, nW, nH = rotate_affine_expand(angle_deg, W, H)
         M = affine_compose(R, M)
         joints = apply(M, joints_2d)
-    Mc, joints = crop_hand_affine(joints, W, H, out_size)
+        crop_w, crop_h = nW, nH
+    Mc, joints = crop_hand_affine(joints, crop_w, crop_h, out_size)
     M = affine_compose(Mc, M)
     out = affine_sample(normalize_to_unit(images), M, out_size, out_size,
                         fill=-1.0)

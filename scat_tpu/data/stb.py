@@ -224,10 +224,15 @@ class STBDataset:
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        # per-epoch reshuffle (torch DataLoader(shuffle=True) semantics):
+        # each pass over the dataset uses a fresh permutation and fresh
+        # augmentation draws.
+        epoch = getattr(self, "_epoch", 0)
+        self._epoch = epoch + 1
         order = np.arange(len(self.image_paths))
         if self.shuffle:
-            np.random.RandomState(self.seed).shuffle(order)
-        rng = np.random.RandomState(self.seed + 1)
+            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
+        rng = np.random.RandomState(self.seed + 1 + 9973 * epoch)
         B = self.batch_size
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]

@@ -17,7 +17,10 @@ class BaseOptions(_BaseOptions):
     """Smoke-run options (reference config_test.py defaults)."""
 
     def parse(self, argv=None) -> Options:
+        import sys
         opt = super().parse(argv)
-        if argv is None or "--vit_heads" not in (argv or []):
+        raw = sys.argv[1:] if argv is None else argv
+        given = any(a.split("=")[0] == "--vit_heads" for a in raw)
+        if not given:
             opt = dataclasses.replace(opt, vit_heads=4)
         return opt

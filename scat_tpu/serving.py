@@ -98,14 +98,20 @@ class HandPosePredictor:
         n = x.shape[0]
         if x.dtype == np.uint8:
             x = x.astype(np.float32) / 127.5 - 1.0
-        bucket = self._bucket(n)
-        if n < bucket:
+        # pad the request so every chunk is exactly a bucket size: full
+        # max_batch chunks plus one bucketed remainder — program count
+        # stays bounded by the bucket set even for oversized requests
+        big = self._buckets[-1]
+        rem = n % big
+        total = (n - rem) + (self._bucket(rem) if rem else 0)
+        if total < max(n, 1):
+            total = self._bucket(n)
+        if n < total:
             x = np.concatenate(
-                [x, np.zeros((bucket - n,) + x.shape[1:], x.dtype)])
-        # chunk oversized requests through the largest bucket
+                [x, np.zeros((total - n,) + x.shape[1:], x.dtype)])
         cams, j3ds, j2ds = [], [], []
-        for start in range(0, x.shape[0], self._buckets[-1]):
-            chunk = x[start:start + self._buckets[-1]]
+        for start in range(0, x.shape[0], big):
+            chunk = x[start:start + big]
             cam, j3d, j2d = self._forward(self.params, self.batch_stats,
                                           jnp.asarray(chunk))
             cams.append(np.asarray(cam))

@@ -45,9 +45,18 @@ def make_dataset(opt: Options, image_size: int, training: bool = True):
         return SyntheticDataset(opt.batch_size,
                                 num_batches=opt.steps_per_epoch or 16,
                                 seed=opt.seed, image_size=image_size)
-    from scat_tpu.data.stb import get_loader_STB, get_loader_STB_eval
     if training:
-        return get_loader_STB(stage="training", bs=opt.batch_size, opt=opt)
+        # stage-driven dataset mix (reference train.py:36 ->
+        # MultiDataset.concat_dataset; stage 3 == STB-only)
+        from scat_tpu.data.multi import concat_dataset
+        return concat_dataset(opt.batch_size, opt)
+    if opt.eval_dataset == "frei":
+        from scat_tpu.data.freihand import get_loader_frei
+        return get_loader_frei("training", opt.batch_size, opt)
+    if opt.eval_dataset == "ho3d":
+        from scat_tpu.data.ho3d import get_loader_ho3d
+        return get_loader_ho3d("training", opt.batch_size, opt)
+    from scat_tpu.data.stb import get_loader_STB_eval
     return get_loader_STB_eval(opt)
 
 

@@ -67,11 +67,28 @@ def restore_params_nonstrict(path: str, params: Any) -> Any:
     ckptr = ocp.PyTreeCheckpointer()
     loaded = ckptr.restore(path)
     loaded_params = loaded.get("params", loaded)
+    skipped = []
 
-    def merge(cur, new):
+    def merge(cur, new, prefix=""):
         if isinstance(cur, dict):
-            return {k: merge(v, new.get(k)) if isinstance(new, dict)
-                    else v for k, v in cur.items()}
-        return cur if new is None else new
+            return {k: merge(v, new.get(k) if isinstance(new, dict)
+                             else None, f"{prefix}{k}/")
+                    for k, v in cur.items()}
+        if new is None:
+            return cur
+        # size-mismatched tensors are skipped and reported, like
+        # torch's load_state_dict(strict=False)
+        import numpy as _np
+        if _np.shape(new) != _np.shape(cur):
+            skipped.append(
+                f"{prefix[:-1]}: ckpt{_np.shape(new)} != "
+                f"model{_np.shape(cur)}")
+            return cur
+        return new
 
-    return merge(params, loaded_params)
+    merged = merge(params, loaded_params)
+    if skipped:
+        print(f"skipped {len(skipped)} size-mismatched tensors: "
+              + ", ".join(skipped[:5])
+              + ("..." if len(skipped) > 5 else ""))
+    return merged

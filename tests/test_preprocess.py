@@ -144,3 +144,42 @@ def test_heatmap_roundtrip_decode(rng):
     decoded = np.asarray(heatmap_to_coords(maps))
     # int-cast in the splat loses sub-pixel precision; within 1px
     np.testing.assert_allclose(decoded, np.floor(centers), atol=1.0)
+
+
+def test_heatmap_coord_reference_api(rng):
+    """get_ave_xy/transfer_target parity with reference
+    data_utils/heatmap_coord.py:10-74 re-executed."""
+    from scat_tpu.ops import heatmap_coord as hc
+
+    def ref_get_ave_xy(hmi, n_points=1, thresh=0):
+        if n_points < 1:
+            hsum, n_points = np.sum(hmi), hmi.size
+            h_, w_ = hmi.shape
+            i1 = np.sum(np.tile(np.arange(w_), (h_, 1)) * hmi) / hsum
+            i0 = np.sum(np.tile(np.arange(h_), (w_, 1)).T * hmi) / hsum
+        else:
+            ind = np.argsort(hmi, axis=None)[-n_points:]
+            t0, t1 = np.unravel_index(ind, hmi.shape)
+            i0 = i1 = hsum = 0
+            for a, b in zip(t0, t1):
+                h = hmi[a, b]
+                hsum += h
+                i0 += a * h
+                i1 += b * h
+            i0 /= hsum
+            i1 /= hsum
+        if hsum / n_points <= thresh:
+            i0, i1 = -1, -1
+        return [i1, i0]
+
+    hm = rng.rand(56, 56)
+    for n_points, thresh in [(1, 0), (64, 0.2), (0, 0), (64, 0.9)]:
+        got = hc.get_ave_xy(hm, n_points, thresh)
+        want = ref_get_ave_xy(hm, n_points, thresh)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+    # sentinel on empty map
+    assert hc.get_ave_xy(np.zeros((56, 56)), 64, 0.2) == [-1, -1]
+    # batched layout [N,H,W,J] -> [N, J*2]
+    batch = rng.rand(2, 56, 56, 3)
+    out = hc.transfer_target(batch, thresh=0, n_points=4)
+    assert out.shape == (2, 6)
