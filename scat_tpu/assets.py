@@ -182,9 +182,34 @@ def synthetic_mano(seed: int = 0,
     )
 
 
+def load_mano_json(path: str) -> ManoModelData:
+    """Load a JSON-serialized MANO model (the format the reference's
+    ``ManoHand`` consumes, models/mano.py:92-133: plain lists under the
+    same keys as the pickle)."""
+    import json
+    with open(path) as f:
+        dd = json.load(f)
+    parents = np.asarray(dd["kintree_table"])[0].astype(np.int32)
+    return ManoModelData(
+        v_template=_dense(dd["v_template"]),
+        shapedirs=_dense(dd["shapedirs"]),
+        posedirs=_dense(dd["posedirs"]),
+        J_regressor=_dense(dd["J_regressor"]).T
+        if np.asarray(dd["J_regressor"]).shape[0] == NUM_VERTS
+        else _dense(dd["J_regressor"]),
+        weights=_dense(dd["weights"]),
+        kintree_parents=parents,
+        hands_mean=_dense(dd["hands_mean"]),
+        hands_components=_dense(np.vstack(dd["hands_components"])),
+        faces=np.asarray(dd["f"], dtype=np.int32) if "f" in dd else None,
+    )
+
+
 def load_mano(path: str = DEFAULT_MANO_PKL, allow_synthetic: bool = True
               ) -> ManoModelData:
     if os.path.exists(path):
+        if path.endswith(".json"):
+            return load_mano_json(path)
         return load_mano_pkl(path)
     if allow_synthetic:
         return synthetic_mano()

@@ -135,11 +135,16 @@ class Trainer:
     def train(self):
         opt = self.opt
         log_every = max(opt.log_every, 1)
+        from scat_tpu.data.prefetch import prefetch_to_device
         for epoch in range(self.epoches):
             running_loss = loss_3d = loss_2d = loss_pl = 0.0
             t_epoch = time.time()
             n_samples = 0
-            for i, batches in enumerate(self.train_loader):
+            # background thread decodes/stages batch i+1 while the
+            # device runs step i (replaces DataLoader workers); batches
+            # arrive mesh-sharded
+            loader = prefetch_to_device(self.train_loader, self.mesh)
+            for i, batches in enumerate(loader):
                 # ConcatDataset yields a tuple of per-dataset batches;
                 # process each like the reference's inner loop
                 # (train.py:136-138).  jit re-specializes per label
@@ -148,7 +153,6 @@ class Trainer:
                 if isinstance(batches, dict):
                     batches = (batches,)
                 for batch in batches:
-                    batch = mesh_lib.shard_batch(self.mesh, batch)
                     self.state, stats = self.train_step(self.state,
                                                         batch)
                     n_samples += self.batch_size

@@ -146,3 +146,39 @@ def test_coarse_head_train_step(rng):
     step = jax.jit(steps.make_train_step(model, tx, 1e5, 10.0))
     _, stats = step(state, batch)
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_prefetch_iterator_preserves_order_and_errors(rng):
+    from scat_tpu.data.prefetch import PrefetchIterator
+
+    data = [{"x": jnp.full((2,), i)} for i in range(10)]
+    out = [int(b["x"][0]) for b in PrefetchIterator(data, depth=3)]
+    assert out == list(range(10))
+    # re-iterable
+    out2 = [int(b["x"][0]) for b in PrefetchIterator(data, depth=3)]
+    assert out2 == out
+
+    class Boom:
+        def __iter__(self):
+            yield {"x": jnp.zeros(2)}
+            raise RuntimeError("decode failed")
+
+    it = PrefetchIterator(Boom(), depth=2)
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for b in it:
+            got.append(b)
+    assert len(got) == 1
+
+
+def test_prefetch_to_device_shards(rng):
+    from scat_tpu.data.prefetch import prefetch_to_device
+    from scat_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    data = [{"image": jnp.zeros((8, 4, 4, 3)),
+             "label": jnp.zeros((8, 105)),
+             "valid": jnp.ones((8,))} for _ in range(3)]
+    batches = list(prefetch_to_device(data, mesh))
+    assert len(batches) == 3
+    sh = batches[0]["image"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec("data")
