@@ -79,7 +79,9 @@ def build_model(opt: Options, image_size: int = 224,
                     dtype=_dtype(opt))
     elif opt.net == "ViP":
         model = ViP(mean_params=mean_j, image_pix=image_size,
-                    iteration=opt.iteration, dtype=_dtype(opt))
+                    iteration=opt.iteration,
+                    use_pallas=opt.use_pallas_attention,
+                    dtype=_dtype(opt))
     else:
         raise ValueError(f"unknown --net {opt.net!r}")
     return model, mean

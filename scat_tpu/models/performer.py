@@ -64,6 +64,7 @@ class PerformerBlock(nn.Module):
     head: int
     kernel_ratio: float = 0.5
     dp_ratio: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,7 +83,13 @@ class PerformerBlock(nn.Module):
         yh = y.reshape(b, t, self.head, self.emb_s).transpose(0, 2, 1, 3)
         kqv = nn.Dense(3 * self.emb_s, dtype=self.dtype, name="kqv")(yh)
         k, q, v = jnp.split(kqv, 3, axis=-1)
-        attn = favor_attention(q, k, v, w)        # [b, h, t, emb_s]
+        if self.use_pallas:
+            from scat_tpu.ops.pallas_favor import favor_attention_fused
+            attn = favor_attention_fused(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), w)
+        else:
+            attn = favor_attention(q, k, v, w)    # [b, h, t, emb_s]
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, emb)
         attn = nn.Dense(emb, dtype=self.dtype, name="proj")(attn)
         attn = nn.Dropout(self.dp_ratio)(attn,
@@ -111,6 +118,7 @@ class ViP(nn.Module):
     kernel_ratio: float = 0.5
     dropout: float = 0.1
     iteration: int = 1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,8 +146,8 @@ class ViP(nn.Module):
         for i in range(self.depth):
             tok = PerformerBlock(self.emb_s, self.heads,
                                  self.kernel_ratio, self.dropout,
-                                 self.dtype, name=f"block_{i}")(
-                                     tok, deterministic)
+                                 self.use_pallas, self.dtype,
+                                 name=f"block_{i}")(tok, deterministic)
         feat = tok.mean(axis=1).astype(jnp.float32)
         pred = jnp.broadcast_to(
             self.mean_params.astype(jnp.float32)[:self.out_dim],
