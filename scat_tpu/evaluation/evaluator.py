@@ -85,6 +85,24 @@ class Evaluator:
             flat_compat=opt.compat_pck_flat)
         self.eval_step = mesh_lib.jit_eval_step(raw, self.mesh)
 
+    def _maybe_dump_attention(self, batch, n: int):
+        """Per-finger attention-line renderings for the coarse head
+        (reference eval.py:834,864-944): forward once more returning the
+        last layer's attention, render sample 1's rows."""
+        if self.opt.net != "reg_transformer_coarse" or not self.opt.debug:
+            return
+        out = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            batch["image"], train=False)
+        attn = np.asarray(out[2])          # [B, H, N, N]
+        labels = np.asarray(batch["label"])
+        idx = min(1, attn.shape[0] - 1)    # reference samples index 1
+        gt_lmk = labels[idx, 63:].reshape(21, 2) \
+            if labels.shape[1] == 105 else \
+            labels[idx, 124:].reshape(21, 2)
+        from scat_tpu.viz.draw import save_attention_maps
+        save_attention_maps(attn[idx], gt_lmk, self.result_dir, n)
+
     def eval(self, eval_dataset: str = "STB"):
         if self.dataset is not None:
             loader = self.dataset
@@ -100,6 +118,7 @@ class Evaluator:
             n += 1
             t0 = time.time()
             batch = mesh_lib.shard_batch(self.mesh, batch)
+            self._maybe_dump_attention(batch, n)
             out = self.eval_step(self.params, self.batch_stats, batch)
             pck = np.asarray(out["pck"])
             err = np.asarray(out["mpjpe_per_sample"])

@@ -43,10 +43,13 @@ def _favor_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, m_feat: int,
     w = w_ref[:].astype(jnp.float32)      # [m, e]
     inv_sqrt_m = 1.0 / math.sqrt(m_feat)
 
+    hi = jax.lax.Precision.HIGHEST  # f32 MXU passes: the exp()
+    # amplifies bf16 input rounding, so feature maps need full precision
+
     def prm(x):
         # exp(w x^T - |x|^2/2)/sqrt(m)  -> [Tp, m]
         wtx = jax.lax.dot_general(
-            x, w, (((1,), (1,)), ((), ())),
+            x, w, (((1,), (1,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)
         xd = 0.5 * jnp.sum(x * x, axis=-1, keepdims=True)
         return jnp.exp(wtx - xd) * inv_sqrt_m
@@ -58,10 +61,13 @@ def _favor_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, m_feat: int,
     kp = jnp.where(row < t_valid, kp, 0.0)
     ksum = jnp.sum(kp, axis=0, keepdims=True)            # [1, m]
     D = jax.lax.dot_general(qp, ksum, (((1,), (1,)), ((), ())),
+                            precision=hi,
                             preferred_element_type=jnp.float32)  # [Tp,1]
     kptv = jax.lax.dot_general(kp, v, (((0,), (0,)), ((), ())),
+                               precision=hi,
                                preferred_element_type=jnp.float32)  # [m,e]
     y = jax.lax.dot_general(qp, kptv, (((1,), (0,)), ((), ())),
+                            precision=hi,
                             preferred_element_type=jnp.float32)
     o_ref[0] = (y / D).astype(o_ref.dtype)
 
