@@ -38,7 +38,6 @@ def _load_torch_baseline():
 def main():
     from scat_tpu import assets
     from scat_tpu.data.synthetic import synth_batch
-    from scat_tpu.models.hand_net import EncoderTransformer
     from scat_tpu.parallel import mesh as mesh_lib
     from scat_tpu.training import schedule, steps
     from scat_tpu.training.state import TrainState
@@ -55,11 +54,10 @@ def main():
     image_size = int(os.environ.get("SCAT_BENCH_IMG", 224))
     mean = assets.load_mean_params()
     on_tpu = jax.devices()[0].platform != "cpu"
-    model = EncoderTransformer(
-        mean_params=jnp.asarray(mean), iteration=3, heads=8, depth=3,
-        mask_rate=0.2, pos_embed=True,
-        token_dim=(image_size // 8) ** 2,
-        use_pallas=on_tpu, dtype=jnp.bfloat16)
+    # single source of truth for the flagship config: the driver hook
+    import __graft_entry__
+    model, _ = __graft_entry__._flagship(image_size,
+                                         use_pallas=on_tpu)
 
     batch = synth_batch(jax.random.key(0), batch_size,
                         image_size=image_size, mean_params=mean)
@@ -106,20 +104,29 @@ def main():
     template = jnp.asarray(mean[3:].reshape(21, 3))
     K = 8
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data_sh = NamedSharding(mesh, P("data"))
+
+    def _gen(key, i):
+        b = _synth_batch_impl(jax.random.fold_in(key, i),
+                              batch_size, image_size, template)
+        # shard over the data axis so multi-chip runs measure per-chip
+        # work (replicated compute would inflate /n_chips math)
+        return jax.lax.with_sharding_constraint(b["image"], data_sh)
+
     def gen_only(key):
+        # consume the FULL image so XLA can't dead-code-eliminate the
+        # generation work being subtracted from the timed total
         def body(i, acc):
-            b = _synth_batch_impl(jax.random.fold_in(key, i),
-                                  batch_size, image_size, template)
-            return acc + jnp.sum(b["image"][0, 0, 0])
+            return acc + jnp.sum(_gen(key, i))
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     def gen_and_infer(p, bs_, key):
         def body(i, acc):
-            b = _synth_batch_impl(jax.random.fold_in(key, i),
-                                  batch_size, image_size, template)
+            img = _gen(key, i)
             pred = model.apply({"params": p, "batch_stats": bs_},
-                               b["image"], train=False)[0]
-            return acc + jnp.sum(pred)
+                               img, train=False)[0]
+            return acc + jnp.sum(pred) + jnp.sum(img)
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     def timed(fn, *args):

@@ -47,6 +47,10 @@ static int decode_png_file(const char* path, uint8_t* out, int h, int w) {
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_read_struct(&png, nullptr, nullptr);
                fclose(fp); return -2; }
+  // rows must be constructed BEFORE the setjmp point: a libpng longjmp
+  // returns control here and the early return below must still run the
+  // vector's destructor (an object constructed after setjmp would leak).
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -71,9 +75,18 @@ static int decode_png_file(const char* path, uint8_t* out, int h, int w) {
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // strip alpha unconditionally: tRNS expansion above can ADD an alpha
+  // channel to palette/RGB images whose original color_type carries no
+  // alpha mask — without this the rows would be 4-wide and overflow the
+  // 3-channel output buffer.
+  png_set_strip_alpha(png);
   png_read_update_info(png, info);
-  std::vector<png_bytep> rows(height);
+  if (png_get_rowbytes(png, info) != (size_t)width * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -5;  // unexpected channel layout
+  }
+  rows.resize(height);
   for (int y = 0; y < height; y++) rows[y] = out + (size_t)y * width * 3;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
@@ -222,23 +235,36 @@ struct Pool {
 
 static Pool* g_pool = nullptr;
 static int g_pool_size = 0;
+static std::mutex g_pool_mu;  // ctypes releases the GIL: callers race
 
-void scat_init_pool(int n_threads) {
+static void init_pool_locked(int n_threads) {
   if (g_pool && g_pool_size == n_threads) return;
+  // destroying a pool joins its workers, so in-flight tasks drain
+  // before the swap; new submitters are excluded by g_pool_mu.
   delete g_pool;
   g_pool = new Pool(n_threads);
   g_pool_size = n_threads;
 }
 
+void scat_init_pool(int n_threads) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  init_pool_locked(n_threads);
+}
+
 int scat_load_batch(const char** paths, int n, int H, int W,
                     const float* Minv, float* out, int oh, int ow,
                     int* status) {
-  if (!g_pool) scat_init_pool(4);
+  Pool* pool;
+  {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
+    init_pool_locked(g_pool ? g_pool_size : 4);
+    pool = g_pool;
+  }
   std::atomic<int> remaining(n);
   std::mutex done_mu;
   std::condition_variable done_cv;
   for (int i = 0; i < n; i++) {
-    g_pool->submit([=, &remaining, &done_mu, &done_cv] {
+    pool->submit([=, &remaining, &done_mu, &done_cv] {
       std::vector<uint8_t> buf((size_t)H * W * 3);
       int rc = scat_decode_image(paths[i], buf.data(), H, W);
       status[i] = rc;
@@ -251,9 +277,14 @@ int scat_load_batch(const char** paths, int n, int H, int W,
         // convention; the validity mask drops it, train.py:143-150)
         for (size_t k = 0; k < (size_t)oh * ow * 3; k++) dst[k] = -1.0f;
       }
-      if (remaining.fetch_sub(1) == 1) {
+      // decrement under done_mu: otherwise the waiter can observe
+      // remaining==0 via a spurious wake, return, and destroy the
+      // stack-allocated mutex/cv while this worker still locks them.
+      {
         std::lock_guard<std::mutex> lk(done_mu);
-        done_cv.notify_one();
+        remaining.fetch_sub(1);
+        done_cv.notify_one();  // under the lock: the waiter cannot
+        // destroy done_mu/done_cv until this scope releases it
       }
     });
   }

@@ -32,11 +32,20 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """Rebuild when the source is newer than the binary."""
+    src = os.path.join(_REPO_ROOT, "native", "scat_native.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return False
+
+
 def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) and auto_build:
+    if auto_build and (not os.path.exists(_SO_PATH) or _stale()):
         _build()
     if not os.path.exists(_SO_PATH):
         return None
