@@ -240,3 +240,48 @@ def generate_video(pth: str, out_pth: str, fps: int = 30):
         out.write(cv2.imread(f))
     out.release()
     return f"{out_pth}/result.avi"
+
+
+def fig2data(fig) -> np.ndarray:
+    """Matplotlib figure -> HxWx4 RGBA array
+    (reference draw_3d_joints.py fig2data helper)."""
+    fig.canvas.draw()
+    w, h = fig.canvas.get_width_height()
+    buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    return buf.reshape(h, w, 4).copy()
+
+
+def draw_3d_skeleton(pose_cam_xyz: np.ndarray, image_size=(224, 224)
+                     ) -> np.ndarray:
+    """Render a standalone 3D skeleton figure and return its pixels
+    (reference draw_3d_joints.py:163-198)."""
+    plt = _plt()
+    fig = plt.figure()
+    fig.set_size_inches(image_size[0] / fig.dpi,
+                        image_size[1] / fig.dpi, forward=True)
+    ax = fig.add_subplot(111, projection="3d")
+    plot_3d_hand(ax, pose_cam_xyz)
+    ax.view_init(elev=-85, azim=-75)
+    ret = fig2data(fig)
+    plt.close(fig)
+    return ret
+
+
+def debug_dataset(image, joints_2d, joints_3d, out_path="dataset_debug"):
+    """Three-panel loader sanity plot: image / image+2D / 3D
+    (reference draw_3d_joints.py:201-213)."""
+    plt = _plt()
+    remap = jointsMapSMPLXToSimple
+    fig = plt.figure()
+    ax1 = fig.add_subplot(131)
+    ax2 = fig.add_subplot(132)
+    ax3 = fig.add_subplot(133, projection="3d")
+    ax1.imshow(image)
+    ax2.imshow(image)
+    plot_2d_hand(ax2, np.asarray(joints_2d)[remap], order="uv")
+    plot_3d_hand(ax3, np.asarray(joints_3d)[remap])
+    ax2.axis("off")
+    print("saving debug dataset image...")
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
