@@ -83,8 +83,11 @@ class DemoRunner:
                 {"params": jax.random.key(0), "mask": jax.random.key(1),
                  "dropout": jax.random.key(2)}, sample, train=False)
             variables = dict(variables)
-            variables["params"] = ckpt_lib.restore_params_nonstrict(
-                opt.checkpoint_path_eval, variables["params"])
+            p_, bs_ = ckpt_lib.restore_variables_nonstrict(
+                opt.checkpoint_path_eval, variables["params"],
+                variables.get("batch_stats", {}))
+            variables["params"] = p_
+            variables["batch_stats"] = bs_
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
         self.loader = loader

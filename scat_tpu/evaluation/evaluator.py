@@ -74,8 +74,11 @@ class Evaluator:
                  "mask": jax.random.key(1),
                  "dropout": jax.random.key(2)}, sample, train=False)
             variables = dict(variables)
-            variables["params"] = ckpt_lib.restore_params_nonstrict(
-                opt.checkpoint_path_eval, variables["params"])
+            p, bs = ckpt_lib.restore_variables_nonstrict(
+                opt.checkpoint_path_eval, variables["params"],
+                variables.get("batch_stats", {}))
+            variables["params"] = p
+            variables["batch_stats"] = bs
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 

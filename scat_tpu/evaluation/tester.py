@@ -47,8 +47,11 @@ class Tester:
             variables = self.model.init(jax.random.key(0), sample,
                                         train=False)
             variables = dict(variables)
-            variables["params"] = ckpt_lib.restore_params_nonstrict(
-                opt.checkpoint_path_eval, variables["params"])
+            p_, bs_ = ckpt_lib.restore_variables_nonstrict(
+                opt.checkpoint_path_eval, variables["params"],
+                variables.get("batch_stats", {}))
+            variables["params"] = p_
+            variables["batch_stats"] = bs_
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
 

@@ -56,17 +56,35 @@ def restore_state(path: str, template: TrainState
     return restored
 
 
-def restore_params_nonstrict(path: str, params: Any) -> Any:
+def restore_variables_nonstrict(path: str, params: Any,
+                                batch_stats: Any = None):
+    """Partial load of params AND normalization statistics.
+
+    Returns ``(params, batch_stats)``; eval without the trained BN
+    running stats would silently normalize with init values."""
+    new_params = restore_params_nonstrict(path, params, key="params")
+    if batch_stats is None:
+        return new_params, batch_stats
+    new_bs = restore_params_nonstrict(path, batch_stats,
+                                      key="batch_stats", quiet=True)
+    return new_params, new_bs
+
+
+def restore_params_nonstrict(path: str, params: Any,
+                             key: str = "params",
+                             quiet: bool = False) -> Any:
     """Partial parameter load: keep current values for anything missing
     in the checkpoint — the ``strict=False`` semantics the reference uses
     for both resume and eval loading (train.py:73, eval.py:393-402)."""
     path = os.path.abspath(path)
     if not os.path.exists(path):
-        print(f"Error: {path} does not exists, Start from Scratch...")
+        if not quiet:
+            print(f"Error: {path} does not exists, "
+                  "Start from Scratch...")
         return params
     ckptr = ocp.PyTreeCheckpointer()
     loaded = ckptr.restore(path)
-    loaded_params = loaded.get("params", loaded)
+    loaded_params = loaded.get(key, loaded if key == "params" else None)
     skipped = []
 
     def merge(cur, new, prefix=""):
