@@ -61,7 +61,9 @@ class Options:
     vit_mlp_dim: int = 512
     vit_dropout: float = 0.0
 
-    # regressor feature level (config.py:26)
+    # regressor feature level (config.py:26).  DEAD in the reference:
+    # the only consumer is commented out (hand_net.py:326 ``# if
+    # opt.feature == 'coarse'``); accepted for flag-compat only.
     feature: str = "x2"
 
     # visualization (config.py:29, 46)
@@ -74,7 +76,12 @@ class Options:
     epoch: int = 50
     iteration: int = 1
     stage: int = 1
+    # DEAD in the reference: --order is parsed (config.py:37) but never
+    # read by any module; accepted for flag-compat only.
     order: str = "SMPLX"
+    # decode choice for the MANO-parameter test path; read by
+    # evaluation.tester (reference eval.py:368; 'smplx' is broken as
+    # shipped there — see Tester.__init__)
     hand_choice: str = "mano"
     smplx_model_path: str = "extra_data/SMPLX_NEUTRAL.pkl"
     mean_mano_param: str = "extra_data/mean_mano_params.pkl"

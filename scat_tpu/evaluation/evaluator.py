@@ -82,22 +82,23 @@ class Evaluator:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 
+        self.want_attn = (opt.net == "reg_transformer_coarse"
+                          and opt.debug)
         raw = steps.make_eval_step(
             self.model, pl_reg=False,
             pck_range=tuple(int(r) for r in RNGE),
-            flat_compat=opt.compat_pck_flat)
+            flat_compat=opt.compat_pck_flat,
+            return_attn=self.want_attn)
         self.eval_step = mesh_lib.jit_eval_step(raw, self.mesh)
 
-    def _maybe_dump_attention(self, batch, n: int):
+    def _maybe_dump_attention(self, batch, out, n: int):
         """Per-finger attention-line renderings for the coarse head
-        (reference eval.py:834,864-944): forward once more returning the
-        last layer's attention, render sample 1's rows."""
-        if self.opt.net != "reg_transformer_coarse" or not self.opt.debug:
+        (reference eval.py:834,864-944).  The attention comes out of the
+        jitted eval step itself — one forward per batch in all modes
+        (the reference pays a second full forward for this dump)."""
+        if not self.want_attn:
             return
-        out = self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            batch["image"], train=False)
-        attn = np.asarray(out[2])          # [B, H, N, N]
+        attn = np.asarray(out["attn"])     # [B, H, N, N]
         labels = np.asarray(batch["label"])
         idx = min(1, attn.shape[0] - 1)    # reference samples index 1
         gt_lmk = labels[idx, 63:].reshape(21, 2) \
@@ -113,6 +114,8 @@ class Evaluator:
             from scat_tpu.training.trainer import make_dataset
             loader = make_dataset(self.opt, 224, training=False)
 
+        from scat_tpu.utils.logging import MetricsLogger
+        logger = MetricsLogger(self.result_dir, filename="eval_metrics.csv")
         pck_all = np.zeros((len(RNGE), 22))
         mpjpe_chunks = []
         auc_3d = []
@@ -121,8 +124,8 @@ class Evaluator:
             n += 1
             t0 = time.time()
             batch = mesh_lib.shard_batch(self.mesh, batch)
-            self._maybe_dump_attention(batch, n)
             out = self.eval_step(self.params, self.batch_stats, batch)
+            self._maybe_dump_attention(batch, out, n)
             pck = np.asarray(out["pck"])
             err = np.asarray(out["mpjpe_per_sample"])
             valid = np.asarray(out["valid"]).astype(bool)
@@ -135,6 +138,10 @@ class Evaluator:
             auc_3d.append(auc)
             print("AUC: {}.".format(auc))
             print("@50: {}.".format(pck[-1, -1]))
+            logger.log(n, {"fps": fps, "auc": auc,
+                           "pck_at_50": pck[-1, -1],
+                           "mpjpe_mm": (1000 * err[valid].mean()
+                                        if valid.any() else float("nan"))})
             mpjpe_chunks.append(err[valid])
         pck_all /= max(n, 1)
         mpjpe = (np.concatenate(mpjpe_chunks) if mpjpe_chunks
@@ -148,6 +155,10 @@ class Evaluator:
         print()
         print("MPJPE: " + str(1000 * mpjpe.mean()))
         print("AUC: " + str(auc))
+        logger.log(n, {"fps": float("nan"), "auc": auc,
+                       "pck_at_50": pck_all[-1, -1],
+                       "mpjpe_mm": 1000 * mpjpe.mean()})
+        logger.close()
         return {"mpjpe_mm": 1000 * mpjpe.mean(), "auc": auc,
                 "pck": pck_all}
 

@@ -38,6 +38,18 @@ class Tester:
         self.image_size = image_size
         self.result_dir = opt.result_dir
         os.makedirs(self.result_dir, exist_ok=True)
+        # --hand_choice gates the parameter decode (reference
+        # eval.py:368, config.py:39).  'mano' is the live path
+        # (test.py:344-348).  The reference's 'smplx' branch is broken as
+        # shipped: the get_smplx_output call is commented out
+        # (test.py:343) leaving pred_verts_3d undefined, and the SMPLX
+        # body model pickle it needs is not distributed — so that choice
+        # fails loudly here instead of silently decoding MANO.
+        if opt.hand_choice != "mano":
+            raise ValueError(
+                f"--hand_choice {opt.hand_choice!r}: only 'mano' is "
+                "functional (the reference's smplx decode is commented "
+                "out at test.py:343 and crashes as shipped)")
         opt_fm = opt if opt.net == "frankmocap" else \
             __import__("dataclasses").replace(opt, net="frankmocap")
         self.model, self.mean_params = build_model(opt_fm, image_size)

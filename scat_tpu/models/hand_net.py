@@ -168,8 +168,8 @@ class EncoderTransformerCoarse(nn.Module):
                                dtype=self.dtype,
                                name="conv1x1_channel_reduction")
         self.transformer = PyramidTransformerAttn(
-            dim=self.token_dim, depth=self.depth, heads=8, dim_head=64,
-            mlp_dim=392, dtype=self.dtype)
+            dim=self.token_dim, depth=self.depth, heads=self.heads,
+            dim_head=64, mlp_dim=392, dtype=self.dtype)
         self.regressor = nn.Dense(3, name="regressor")
         self.mask_token = self.param(
             "mask_token", nn.initializers.normal(1.0),

@@ -70,9 +70,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 pl_mean_state=state.pl_mean,
                 ema_reset_compat=ema_reset_compat)
             return breakdown.total, (mutated["batch_stats"], breakdown,
-                                     new_pl)
+                                     new_pl, (j3d[0], j2d[0]))
 
-        grads, (new_bs, breakdown, new_pl) = jax.grad(
+        grads, (new_bs, breakdown, new_pl, pred0) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -85,6 +85,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
             "loss_2d": l_weight_2d * breakdown.l_2d,
             "loss_pl": 10.0 * breakdown.l_pl,
             "valid_frac": valid.mean(),
+            # sample 0's predictions for the train-time debug grid
+            # (reference train.py:211-222); [21,3]/[21,2] — negligible
+            # D2H traffic, only fetched when the host debug hook fires.
+            "pred0_3d": pred0[0],
+            "pred0_2d": pred0[1],
         }
         return new_state, stats
 
@@ -93,9 +98,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 def make_eval_step(model, pl_reg: bool = False,
                    pck_range=metrics_lib.DEFAULT_PCK_RANGE_MM,
-                   flat_compat: bool = True):
+                   flat_compat: bool = True, return_attn: bool = False):
     """Fused eval step: forward -> projection -> PA-Procrustes -> metrics
-    (reference eval.py:810-1027 minus visualization)."""
+    (reference eval.py:810-1027 minus visualization).
+
+    ``return_attn=True`` (coarse head under ``--debug``) also emits the
+    last layer's attention from the SAME forward — the reference re-runs
+    the net for its attention dump (eval.py:834); here it's free.
+    """
 
     def eval_step(params, batch_stats, batch: Dict[str, jax.Array]):
         images, labels = batch["image"], batch["label"]
@@ -112,13 +122,17 @@ def make_eval_step(model, pl_reg: bool = False,
         pck = metrics_lib.cal_pck(aligned, gt3d, pck_range,
                                   flat_compat=flat_compat, valid=valid)
         err = metrics_lib.mpjpe(aligned, gt3d)
-        return {
+        out = {
             "pck": pck,
             "mpjpe_per_sample": err,
             "valid": valid,
             "pred_joints_3d": aligned,
             "pred_joints_2d": j2d,
         }
+        if return_attn:
+            # coarse-head contract: (pred, feat_visual, attn[, pl_grad])
+            out["attn"] = outputs[2]
+        return out
 
     return eval_step
 

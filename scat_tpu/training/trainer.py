@@ -132,11 +132,38 @@ class Trainer:
         self.train_step = mesh_lib.jit_train_step(
             raw_step, self.mesh, donate_state=opt.donate_state)
 
+    def _debug_visualize(self, batch, stats):
+        """Every-100-steps GT/pred debug grid (reference train.py:211-222):
+        denormalize sample 0's crop, slice its GT joints from the label
+        row, pull the step's sample-0 predictions, save the 2x2 grid named
+        by ``--debug_img``."""
+        import numpy as np
+        from scat_tpu.viz import draw
+        print("==== Visualize ====")
+        img = np.asarray(batch["image"][0])
+        image = np.clip(img * 127.5 + 127.5, 0, 255).astype(np.uint8)
+        label = np.asarray(batch["label"][0])
+        off = 0 if label.shape[0] == 105 else 61  # 166-wide MANO labels
+        gt_3d = label[off:off + 63].reshape(21, 3)
+        gt_2d = label[off + 63:off + 105].reshape(21, 2)
+        pred_3d = np.asarray(stats["pred0_3d"]).reshape(21, 3)
+        pred_2d = np.asarray(stats["pred0_2d"]).reshape(21, 2)
+        draw.debug_pred_gt(image, gt_2d, gt_3d, pred_2d, pred_3d,
+                           self.opt.debug_img)
+
     def train(self):
         opt = self.opt
         log_every = max(opt.log_every, 1)
         from scat_tpu.data.prefetch import prefetch_to_device
+        from scat_tpu.utils.logging import MetricsLogger
+        from scat_tpu.utils.profiling import StepTimer
+        logger = MetricsLogger(opt.checkpoint_folder)
+        timer = StepTimer(self.batch_size)
+        global_step = 0
         for epoch in range(self.epoches):
+            # loss_pl accumulates over the WHOLE epoch and prints raw —
+            # the reference never resets it inside the window
+            # (train.py:224-234 ``loss_pl += 10*l_pl``, no /10, no reset)
             running_loss = loss_3d = loss_2d = loss_pl = 0.0
             t_epoch = time.time()
             n_samples = 0
@@ -155,23 +182,37 @@ class Trainer:
                 for batch in batches:
                     self.state, stats = self.train_step(self.state,
                                                         batch)
+                    timer.tick(stats["loss"])
                     n_samples += self.batch_size
+                    global_step += 1
+                    if opt.debug and i % 100 == 0:
+                        self._debug_visualize(batch, stats)
                 running_loss += float(stats["loss"])
                 loss_3d += float(stats["loss_3d"])
                 loss_2d += float(stats["loss_2d"])
-                loss_pl = float(stats["loss_pl"])
+                loss_pl += float(stats["loss_pl"])
                 if i % log_every == 0:
                     print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
                           "2d loss: %.3f, pose length reg: %.3f"
                           % (epoch + 1, i + 1, running_loss / log_every,
                              loss_3d / log_every, loss_2d / log_every,
                              loss_pl))
+                    logger.log(global_step, {
+                        "epoch": epoch + 1,
+                        "loss": running_loss / log_every,
+                        "loss_3d": loss_3d / log_every,
+                        "loss_2d": loss_2d / log_every,
+                        "loss_pl": loss_pl,
+                        "samples_per_sec": timer.samples_per_sec,
+                        "ms_per_step": timer.ms_per_step,
+                    })
                     running_loss = loss_3d = loss_2d = 0.0
             dt = time.time() - t_epoch
             print(f"epoch {epoch + 1}: {n_samples / dt:.1f} samples/s")
             if epoch % opt.checkpoint_every_epochs == 0:
                 ckpt_lib.save_state(opt.checkpoint_folder, self.state)
         print("Finished Training")
+        logger.close()
         ckpt_lib.save_state(opt.checkpoint_folder, self.state,
                             ckpt_lib.FINAL_NAME)
 

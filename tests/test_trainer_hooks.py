@@ -1,0 +1,99 @@
+"""Train/eval driver wiring added in round 2: the every-100-steps debug
+grid (reference train.py:211-222), structured CSV metrics, the coarse
+head honoring --vit_heads (reference hand_net.py:236), attention out of
+the jitted eval step, and the --hand_choice gate (reference eval.py:368).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scat_tpu import assets
+from scat_tpu.config import Options
+from scat_tpu.models.hand_net import EncoderTransformerCoarse
+from scat_tpu.training import steps
+
+
+def _coarse_opt(**kw):
+    base = dict(net="reg_transformer_coarse", vit_heads=2, iteration=1,
+                batch_size=2, compute_dtype="float32",
+                use_pallas_attention=False, mesh_shape="data:1")
+    base.update(kw)
+    return Options(**base)
+
+
+def test_coarse_head_honors_vit_heads():
+    """--vit_heads must change the coarse transformer's QKV widths
+    (reference hand_net.py:236 passes opt.vit_heads; round-1 hardcoded
+    heads=8)."""
+    mean = jnp.asarray(assets.load_mean_params())
+    shapes = {}
+    for heads in (2, 8):
+        model = EncoderTransformerCoarse(mean_params=mean, heads=heads,
+                                         token_dim=64)
+        var_shapes = jax.eval_shape(
+            lambda m=model: m.init(
+                {"params": jax.random.key(0), "mask": jax.random.key(1)},
+                jnp.zeros((1, 64, 64, 3), jnp.float32)))
+        qkv = var_shapes["params"]["transformer"]["attn_0"]["to_qkv"][
+            "kernel"]
+        shapes[heads] = qkv.shape
+    assert shapes[2] == (64, 2 * 64 * 3)
+    assert shapes[8] == (64, 8 * 64 * 3)
+
+
+def test_eval_step_returns_attention():
+    """The jitted eval step emits the last layer's attention when asked —
+    no second eager forward (round-1 evaluator re-ran the model)."""
+    mean = jnp.asarray(assets.load_mean_params())
+    model = EncoderTransformerCoarse(mean_params=mean, heads=2,
+                                     token_dim=64)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, x)
+    step = jax.jit(steps.make_eval_step(model, return_attn=True))
+    batch = {"image": jnp.ones((2, 64, 64, 3), jnp.float32) * 0.1,
+             "label": jnp.zeros((2, 105), jnp.float32),
+             "valid": jnp.ones((2,), jnp.float32)}
+    out = step(variables["params"], variables.get("batch_stats", {}),
+               batch)
+    assert out["attn"].shape == (2, 2, 21, 21)
+    # rows are softmax distributions
+    np.testing.assert_allclose(np.asarray(out["attn"]).sum(-1), 1.0,
+                               atol=1e-5)
+
+
+def test_hand_choice_gate(tmp_path):
+    """--hand_choice smplx fails loudly (the reference's smplx decode is
+    commented out at test.py:343 and crashes as shipped)."""
+    from scat_tpu.evaluation.tester import Tester
+    opt = _coarse_opt(hand_choice="smplx", result_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="hand_choice"):
+        Tester(opt)
+
+
+@pytest.mark.slow
+def test_trainer_debug_grid_and_csv(tmp_path, monkeypatch):
+    """One synthetic epoch with --debug: the GT/pred grid named by
+    --debug_img appears (reference train.py:211-222) and metrics.csv is
+    written with the printed quantities."""
+    monkeypatch.chdir(tmp_path)
+    from scat_tpu.training.trainer import Trainer
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  batch_size=8, epoch=1, steps_per_epoch=2,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  synthetic_data=True, debug=True,
+                  debug_img="unittest", log_every=1,
+                  checkpoint_folder=str(tmp_path / "ckpt"))
+    Trainer(opt, image_size=64).train()
+    assert os.path.exists("debug_img/debug_gt_pred_unittest.png")
+    csv_path = tmp_path / "ckpt" / "metrics.csv"
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    for col in ("loss", "loss_3d", "loss_2d", "loss_pl",
+                "samples_per_sec"):
+        assert col in header
