@@ -143,9 +143,14 @@ class FreiHANDDataset:
     def _load_image(self, index: int) -> np.ndarray:
         from PIL import Image
         path = os.path.join(self.rgb_dir, f"{index:08d}.jpg")
+        if not os.path.exists(path):
+            path = os.path.join(self.rgb_dir, f"{index:08d}.png")
         img = Image.open(path).convert("RGB")
         if img.size != (224, 224):
-            img = img.resize((224, 224))
+            # torchvision Resize default interpolation is BILINEAR
+            # (reference load_test_dataset.py transform); PIL's own
+            # default is BICUBIC, so pin the filter explicitly
+            img = img.resize((224, 224), Image.BILINEAR)
         return np.asarray(img)
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:

@@ -271,31 +271,40 @@ class STBDataset:
 
 def maybe_motion_blur(images: jax.Array, rng: np.random.RandomState
                       ) -> jax.Array:
-    """1-in-6 per-batch motion blur with a random-length axis kernel
-    (reference load_STB.py:154-187,266-268; applied per-batch here so
-    shapes stay static — per-sample choice folds into the validity of
-    the augmentation, not the shape)."""
-    if rng.randint(0, 6) != 1:
+    """Per-SAMPLE 1-in-6 motion blur with a random-length axis kernel
+    (reference load_STB.py:154-187 and the per-sample draw at :266-268:
+    each sample independently rolls use_blur, kernel size 1..10 and
+    vertical/horizontal).
+
+    TPU-static formulation: every sample's centered box kernel is
+    embedded into a fixed 11-tap offset window (offsets -5..5, anchor
+    ``ksize//2`` — cv2.filter2D's convention), both axis blurs are
+    computed for the whole batch as shifted adds, and a per-sample
+    [B,1,1,1] select picks {original, vertical, horizontal}.  No dynamic
+    shapes, one vectorized pass."""
+    B = images.shape[0]
+    use = rng.randint(0, 6, size=B) == 1
+    if not use.any():
         return images
-    ksize = int(rng.randint(1, 11))
-    if ksize <= 1:
-        return images
-    kernel = jnp.ones((ksize,), jnp.float32) / ksize
-    axis = int(rng.randint(0, 2))  # 0 vertical, 1 horizontal
+    ksize = rng.randint(1, 11, size=B)
+    axis = rng.randint(0, 2, size=B)  # 0 vertical, 1 horizontal
+    offs = np.arange(-5, 6)
+    anchor = ksize // 2
+    inside = ((offs[None] >= -anchor[:, None])
+              & (offs[None] <= (ksize - 1 - anchor)[:, None]))
+    w = jnp.asarray(inside.astype(np.float32)
+                    / ksize[:, None].astype(np.float32))
     x = images.astype(jnp.float32)
-    # depthwise 1-D convolution along the chosen spatial axis
-    pad = ksize // 2
-    if axis == 0:
-        xp = jnp.pad(x, ((0, 0), (pad, ksize - 1 - pad), (0, 0), (0, 0)),
-                     mode="edge")
-        out = sum(xp[:, i:i + x.shape[1]] * kernel[i]
-                  for i in range(ksize))
-    else:
-        xp = jnp.pad(x, ((0, 0), (0, 0), (pad, ksize - 1 - pad), (0, 0)),
-                     mode="edge")
-        out = sum(xp[:, :, i:i + x.shape[2]] * kernel[i]
-                  for i in range(ksize))
-    return out
+    h, wd = x.shape[1], x.shape[2]
+    pad_v = jnp.pad(x, ((0, 0), (5, 5), (0, 0), (0, 0)), mode="edge")
+    pad_h = jnp.pad(x, ((0, 0), (0, 0), (5, 5), (0, 0)), mode="edge")
+    vblur = sum(w[:, i, None, None, None] * pad_v[:, i:i + h]
+                for i in range(11))
+    hblur = sum(w[:, i, None, None, None] * pad_h[:, :, i:i + wd]
+                for i in range(11))
+    blurred = jnp.where(jnp.asarray(axis == 0)[:, None, None, None],
+                        vblur, hblur)
+    return jnp.where(jnp.asarray(use)[:, None, None, None], blurred, x)
 
 
 def get_loader_STB(stage: str = "training", bs: int = 128,

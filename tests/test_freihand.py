@@ -1,0 +1,96 @@
+"""FreiHAND loader end-to-end on a synthetic fixture tree (mirrors
+tests/test_stb.py's STB fixture; fixes the round-1 gap of an untested
+image path).  Label math sources: reference load_test_dataset.py:33-53
+(projection), :91-103 (rescale), :159-167 (pose rotation);
+train.py:193-196 (166-float layout)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scat_tpu.config import Options
+from scat_tpu.data import freihand
+
+
+def _write_synthetic_frei(tmp_path, n=8, img_size=128):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "FreiHAND"
+    rgb = root / "training" / "rgb"
+    rgb.mkdir(parents=True)
+    K = np.tile(np.array([[480., 0, 112], [0, 480., 112], [0, 0, 1]]),
+                (n, 1, 1))
+    xyz = rng.rand(n, 21, 3) * 0.08 + np.array([0, 0, 0.5])
+    mano = rng.randn(n, 1, 58).astype(np.float64) * 0.1
+    with open(root / "training_K.json", "w") as f:
+        json.dump(K.tolist(), f)
+    with open(root / "training_xyz.json", "w") as f:
+        json.dump(xyz.tolist(), f)
+    with open(root / "training_mano.json", "w") as f:
+        json.dump(mano.tolist(), f)
+    from PIL import Image
+    for i in range(n):
+        img = (rng.rand(img_size, img_size, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(rgb / f"{i:08d}.jpg")
+    return root, K, xyz, mano
+
+
+def test_freihand_dataset_end_to_end(tmp_path):
+    root, K, xyz, mano = _write_synthetic_frei(tmp_path)
+    ds = freihand.FreiHANDDataset(str(root), "training", batch_size=4,
+                                  shuffle=False, color_jitter=False)
+    assert len(ds) == 2
+    batch = next(iter(ds))
+    assert batch["image"].shape == (4, 224, 224, 3)
+    assert batch["label"].shape == (4, 166)
+    img = np.asarray(batch["image"])
+    assert img.min() >= -1.0 and img.max() <= 1.0
+
+    lab = np.asarray(batch["label"])
+    # 3D block: root-centered at joint 1, bone 4-5 pinned
+    j3d = lab[:, 61:124].reshape(4, 21, 3)
+    np.testing.assert_allclose(j3d[:, 1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(j3d[:, 4] - j3d[:, 5], axis=1), 0.03058954,
+        rtol=1e-4)
+    # 2D block: pinhole projection of the raw (unrescaled) xyz with K
+    for b in range(4):
+        proj = xyz[b].dot(K[b].T)
+        want = proj[:, :2] / proj[:, 2:]
+        np.testing.assert_allclose(lab[b, 124:].reshape(21, 2), want,
+                                   rtol=1e-4)
+    # pose block: global orient is the MANO rotvec composed with a
+    # 180deg x rotation; hand pose body passes through
+    np.testing.assert_allclose(lab[0, 3:51][3:],
+                               mano[0, 0, 3:48], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        lab[0, 3:51][:3],
+        freihand.rotate_pose(mano[0, 0, :48].astype(np.float32))[:3],
+        rtol=1e-4)
+    np.testing.assert_allclose(lab[0, 51:61], mano[0, 0, 48:58],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_freihand_resize_is_bilinear(tmp_path):
+    """The upsample to 224 must match torchvision Resize's bilinear
+    filter, not PIL's bicubic default."""
+    root, *_ = _write_synthetic_frei(tmp_path, n=1, img_size=64)
+    ds = freihand.FreiHANDDataset(str(root), "training", batch_size=1,
+                                  shuffle=False, color_jitter=False)
+    from PIL import Image
+    src = Image.open(root / "training" / "rgb" / "00000000.jpg"
+                     ).convert("RGB")
+    want = np.asarray(src.resize((224, 224), Image.BILINEAR))
+    got = ds._load_image(0)
+    np.testing.assert_array_equal(got, want)
+    bad = np.asarray(src.resize((224, 224), Image.BICUBIC))
+    assert np.abs(got.astype(int) - bad.astype(int)).max() > 0
+
+
+def test_get_loader_frei_factory(tmp_path):
+    root, *_ = _write_synthetic_frei(tmp_path)
+    opt = Options(data_dir=str(tmp_path / "STB"), batch_size=4)
+    ds = freihand.get_loader_frei("training", 4, opt)
+    assert isinstance(ds, freihand.FreiHANDDataset)
+    assert ds.data_dir == str(root)
