@@ -73,6 +73,17 @@ class _Merger:
             self._set(self.params, flax_path + ("bias",),
                       _np(self.sd[bkey]))
 
+    def ln(self, flax_path: Tuple[str, ...], torch_name: str):
+        for leaf, suffix in (("scale", ".weight"), ("bias", ".bias")):
+            key = torch_name + suffix
+            if key in self.sd:
+                self._set(self.params, flax_path + (leaf,),
+                          _np(self.sd[key]))
+
+    def raw(self, flax_path: Tuple[str, ...], torch_name: str):
+        if torch_name in self.sd:
+            self._set(self.params, flax_path, _np(self.sd[torch_name]))
+
 
 def import_torch_resnet(state_dict: Mapping[str, Any],
                         params: Dict, batch_stats: Dict,
@@ -99,6 +110,71 @@ def import_torch_resnet(state_dict: Mapping[str, Any],
     # the reference's replacement head (resnet.py:116): fc1 512*exp->1024
     m.dense(("fc1",), "fc1")
     return m.merged
+
+
+def _pyramid_layers(m: _Merger, depth: int, coarse: bool) -> None:
+    """Merge the pyramid transformer stack.
+
+    Torch key layouts (from the reference module nesting):
+      * plain (vision_transformer.py:82-101):
+        ``transformer.layers.{i}.0`` = Residual(PreNorm(Attention)) ->
+        ``.0.fn.norm`` / ``.0.fn.fn.to_qkv`` / ``.0.fn.fn.to_out.0``;
+        ``.1`` = PreNorm(FeedForward) (non-final: ``.1.norm``,
+        ``.1.fn.net.{0,2}``) or a bare FeedForward on the final layer
+        (``.1.net.{0,2}``).
+      * attn variant (vision_transformer_attn.py:89-113):
+        ``.0`` = bare Attention, ``.1`` = PreNormAttn (post-norm LN),
+        ``.2`` = PreNorm(FeedForward) / bare final FeedForward.
+    """
+    for i in range(depth):
+        final = i == depth - 1
+        L = f"transformer.layers.{i}"
+        if coarse:
+            attn_base, norm_name, ff_idx = f"{L}.0", f"{L}.1.norm", 2
+        else:
+            attn_base, norm_name, ff_idx = (f"{L}.0.fn.fn",
+                                            f"{L}.0.fn.norm", 1)
+        m.dense(("transformer", f"attn_{i}", "to_qkv"),
+                attn_base + ".to_qkv")
+        m.dense(("transformer", f"attn_{i}", "to_out"),
+                attn_base + ".to_out.0")
+        m.ln(("transformer", f"attn_norm_{i}"), norm_name)
+        ff = f"{L}.{ff_idx}"
+        if final:
+            net = ff
+        else:
+            net = ff + ".fn"
+            m.ln(("transformer", f"ff_norm_{i}"), ff + ".norm")
+        m.dense(("transformer", f"ff_{i}", "Dense_0"), net + ".net.0")
+        m.dense(("transformer", f"ff_{i}", "Dense_1"), net + ".net.2")
+
+
+def import_torch_encoder_transformer(
+        state_dict: Mapping[str, Any], params: Dict, batch_stats: Dict,
+        depth: int = 3, coarse: bool = False) -> int:
+    """Merge a complete reference ``EncoderTransformer``
+    (hand_net.py:315-398) or ``EncoderTransformerCoarse`` (:216-311)
+    state_dict into our flax (params, batch_stats) IN PLACE: ResNet-50
+    backbone + fc1, conv1x1 reduction, the full pyramid transformer
+    (QKV/out projections, LayerNorms, FFNs), the learned mask token and
+    the iterative regressor.  ``strict=False`` semantics throughout;
+    returns the number of tensors merged.
+
+    The sinusoidal PE and mean_params are not ported: the PE is a
+    deterministic buffer recomputed on our side (hand_net.py:61-77
+    parity is asserted by tests), and the reference never registers
+    mean_params in its state_dict.
+    """
+    sub = {k[len("main_encoder."):]: v for k, v in state_dict.items()
+           if k.startswith("main_encoder.")}
+    merged = import_torch_resnet(sub, params["main_encoder"],
+                                 batch_stats.get("main_encoder", {}))
+    m = _Merger(params, batch_stats, state_dict)
+    m.conv(("conv1x1_channel_reduction",), "conv1x1_channel_reduction")
+    m.raw(("mask_token",), "mask_token")
+    m.dense(("regressor",), "regressor")
+    _pyramid_layers(m, depth, coarse)
+    return merged + m.merged
 
 
 def load_torch_checkpoint(path: str) -> Mapping[str, Any]:
