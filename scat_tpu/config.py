@@ -122,6 +122,12 @@ class Options:
     checkpoint_every_epochs: int = 10  # torch.save cadence (train.py:237)
     data_dir: str = "./STB/"
     synthetic_data: bool = False       # use the in-memory synthetic dataset
+    # Path to a local torchvision ResNet-50 ImageNet .pth.  The reference
+    # ALWAYS starts from model-zoo ImageNet weights (resnet.py:186-196,
+    # strict=False); TPU pods are zero-egress, so download
+    # https://download.pytorch.org/models/resnet50-0676ba61.pth on a
+    # connected host, copy it in, and pass it here.  Empty = fresh init.
+    pretrained_resnet_pth: str = ""
     compat_argparse_bool: bool = False
     compat_pl_ema_reset: bool = True  # reproduce train.py:180-182 EMA reset
     compat_pck_flat: bool = True      # reproduce eval.py:311-312 dist.flat

@@ -18,6 +18,7 @@ from functools import partial
 from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -44,6 +45,41 @@ def make_norm(norm_layer: str, train: bool, dtype):
         return _GN(name=name)
 
     return group_norm
+
+
+class Conv7S2D(nn.Module):
+    """The stem's 7x7/stride-2 convolution executed in space-to-depth
+    form — the classic TPU fix for C_in=3 convs (the MXU pads 3 input
+    channels to a full register lane; measured ~2 ms/step at bs 96,
+    benchmarks/profile_stages.py).
+
+    Numerically EXACT and parameter-compatible: the stored param is the
+    canonical ``conv1/kernel`` [7,7,3,F] (torchvision import untouched);
+    at apply time the input is packed [B,H,W,3] -> [B,H/2,W/2,12] and the
+    kernel is zero-padded to 8x8 and re-blocked to [4,4,12,F], turning
+    the stride-2 conv into a stride-1 conv over 12 channels:
+      out[o] = sum_k w7[k+3] x[2o+k]  ==  sum_{j,d} w8[2j+d] x2[o+j-2, d]
+    with w8 = pad(w7, 1 leading zero per spatial axis).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, 3, f))
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                  4 * c)
+        k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        pk = k8.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
+        pk = pk.reshape(4, 4, 12, f)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), pk.astype(self.dtype), (1, 1),
+            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class BasicBlock(nn.Module):
@@ -117,8 +153,14 @@ class ResNet(nn.Module):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = make_norm(self.norm_layer, train, self.dtype)
 
-        x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                 name="conv1")(x)
+        # space-to-depth stem when shapes allow (exact + same param
+        # tree, see Conv7S2D); plain 7x7 otherwise
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0 \
+                and x.shape[3] == 3:
+            x = Conv7S2D(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                     name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

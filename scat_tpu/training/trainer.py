@@ -40,6 +40,23 @@ def _enable_compilation_cache(path: str = "~/.cache/scat_tpu_xla"):
         pass
 
 
+def _load_pretrained_backbone(path: str, params, batch_stats):
+    """Merge a local torchvision ImageNet ResNet ``.pth`` into the
+    backbone subtree, ``strict=False`` (the reference always initializes
+    from model-zoo weights, resnet.py:186-196; zero-egress pods must
+    stage the file locally — see --pretrained_resnet_pth in config.py)."""
+    import flax
+    from scat_tpu.utils import torch_import
+    sd = torch_import.load_torch_checkpoint(path)
+    params = flax.core.unfreeze(params)
+    batch_stats = flax.core.unfreeze(batch_stats) if batch_stats else {}
+    p_sub = params.get("main_encoder", params)
+    b_sub = batch_stats.get("main_encoder", batch_stats)
+    merged = torch_import.import_torch_resnet(sd, p_sub, b_sub)
+    print(f"pretrained backbone: merged {merged} tensors from {path}")
+    return params, batch_stats
+
+
 def make_dataset(opt: Options, image_size: int, training: bool = True):
     if opt.synthetic_data:
         return SyntheticDataset(opt.batch_size,
@@ -112,9 +129,13 @@ class Trainer:
                            jnp.float32)
         variables = self.model.init(init_rngs, sample, train=True)
         self.constants = variables.get("constants", {})
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if opt.pretrained_resnet_pth:
+            params, batch_stats = _load_pretrained_backbone(
+                opt.pretrained_resnet_pth, params, batch_stats)
         self.state = TrainState.create(
-            variables["params"], variables.get("batch_stats", {}),
-            self.tx, jax.random.fold_in(rng, 3))
+            params, batch_stats, self.tx, jax.random.fold_in(rng, 3))
 
         if opt.resume:
             restored = ckpt_lib.restore_state(opt.checkpoint_hand,

@@ -21,6 +21,16 @@ import jax  # noqa: E402
 # so unit tests run locally on the 8-device virtual mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: model-sized jits dominate suite wall time on
+# this 1-core host (30-90 s per ResNet-scale program); cached reloads
+# are near-instant, so re-runs of the suite drop from ~25 min to minutes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/scat_tpu_xla_cpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -69,6 +69,7 @@ def test_software_renderer(rng):
     assert np.abs(out.astype(int) - img.astype(int)).sum() > 0
 
 
+@pytest.mark.slow
 def test_truncated_resnet_and_spade(rng):
     from scat_tpu.models.helpers import SPADE, TruncatedResNet
     x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
@@ -122,6 +123,7 @@ def test_get_dist_pck(rng):
         np.testing.assert_allclose(d[0, :, b], want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_coarse_head_train_step(rng):
     """make_train_step handles the (pred, fmap, attn) contract."""
     from scat_tpu import assets

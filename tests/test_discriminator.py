@@ -10,6 +10,7 @@ from scat_tpu.models import vibe_loss as vl
 
 
 @pytest.mark.parametrize("pool", ["concat", "attention", "last"])
+@pytest.mark.slow
 def test_motion_discriminator_pools(rng, pool):
     model = MotionDiscriminator(rnn_size=32, input_size=48, num_layers=2,
                                 output_size=2, feature_pool=pool,
@@ -21,6 +22,7 @@ def test_motion_discriminator_pools(rng, pool):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_motion_discriminator_spectral_norm(rng):
     model = MotionDiscriminator(rnn_size=16, input_size=48, num_layers=1,
                                 use_spectral_norm=True)

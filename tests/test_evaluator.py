@@ -13,6 +13,7 @@ from scat_tpu.evaluation.evaluator import Evaluator, RNGE
 from scat_tpu.models.hand_net import EncoderTransformer
 from scat_tpu.ops import metrics as metrics_lib
 from scat_tpu.training import steps
+import pytest
 
 
 class _Labels166Dataset:
@@ -39,6 +40,7 @@ class _Labels166Dataset:
         return iter(self.batches)
 
 
+@pytest.mark.slow
 def test_evaluator_aggregation_matches_manual(tmp_path, rng):
     mean = assets.load_mean_params()
     opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
@@ -79,6 +81,7 @@ def test_evaluator_aggregation_matches_manual(tmp_path, rng):
     assert (tmp_path / "PCK.png").exists()
 
 
+@pytest.mark.slow
 def test_eval_step_166_labels(rng):
     mean = assets.load_mean_params()
     model = EncoderTransformer(mean_params=jnp.asarray(mean), iteration=1,

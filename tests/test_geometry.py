@@ -60,6 +60,7 @@ def test_rodrigues_guarded_zero_angle():
     np.testing.assert_allclose(got, np.tile(np.eye(3), (4, 1, 1)), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_rodrigues_guarded_differentiable_at_zero():
     import jax
     g = jax.jacobian(lambda r: geometry.rodrigues_guarded(r[None])[0])(

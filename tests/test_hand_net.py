@@ -31,6 +31,7 @@ def _small_encoder(**kw):
     return EncoderTransformer(**defaults)
 
 
+@pytest.mark.slow
 def test_encoder_transformer_shapes(rng):
     model = _small_encoder()
     x = jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32)
@@ -46,6 +47,7 @@ def test_encoder_transformer_shapes(rng):
     np.testing.assert_allclose(j3d[:, 1], 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_transformer_pl_reg(rng):
     model = _small_encoder(pl_reg=True, mask_rate=0.2)
     x = jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32)
@@ -58,6 +60,7 @@ def test_encoder_transformer_pl_reg(rng):
     assert np.abs(np.asarray(pl_grad)).sum() > 0  # probe actually flows
 
 
+@pytest.mark.slow
 def test_masking_changes_output_only_in_train(rng):
     model = _small_encoder(mask_rate=0.5)
     x = jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32)
@@ -151,6 +154,7 @@ def test_train_step_with_pl_reg_runs():
     assert float(stats["loss_pl"]) >= 0.0
 
 
+@pytest.mark.slow
 def test_eval_step_metrics(rng):
     mean = assets.load_mean_params()
     model = EncoderTransformer(mean_params=jnp.asarray(mean), iteration=1,
@@ -168,6 +172,7 @@ def test_eval_step_metrics(rng):
     assert np.all(np.isfinite(np.asarray(out["mpjpe_per_sample"])))
 
 
+@pytest.mark.slow
 def test_fused_preprocess_train_step(rng):
     """Raw frames + affines in, one XLA program does warp+train; output
     matches preprocessing outside the step."""

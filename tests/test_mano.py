@@ -8,6 +8,7 @@ from scipy.spatial.transform import Rotation as SR
 
 from scat_tpu import assets
 from scat_tpu.models import mano
+import pytest
 
 
 def _np_rodrigues(r):
@@ -82,6 +83,7 @@ def test_mano_hand_forward_matches_reference_formulas(rng):
     np.testing.assert_allclose(joints, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_rot_pose_beta_to_mesh_matches_reference_formulas(rng):
     data = _data()
     model = mano.ManoModel.from_data(data)
@@ -110,6 +112,7 @@ def test_rot_pose_beta_to_mesh_matches_reference_formulas(rng):
     np.testing.assert_allclose(out[:, 1], 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mano_zero_pose_is_rest_shape():
     data = _data()
     model = mano.ManoModel.from_data(data)
@@ -125,6 +128,7 @@ def test_mano_zero_pose_is_rest_shape():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mano_forward_is_differentiable():
     import jax
     data = _data()
@@ -146,6 +150,7 @@ def test_mano_forward_is_differentiable():
     assert np.all(np.isfinite(np.asarray(g2)))
 
 
+@pytest.mark.slow
 def test_mano_jit_matches_eager(rng):
     import jax
     data = _data()

@@ -23,6 +23,7 @@ def _run(opt, image_size=IMG, expect_pl=False):
     return out
 
 
+@pytest.mark.slow
 def test_reg_transformer_variant():
     opt = Options(net="reg_transformer", vit_heads=2, iteration=2,
                   mask_rate=0.2, use_pallas_attention=False,
@@ -31,6 +32,7 @@ def test_reg_transformer_variant():
     assert out[0].shape == (2, 66)
 
 
+@pytest.mark.slow
 def test_reg_transformer_coarse_variant():
     opt = Options(net="reg_transformer_coarse", vit_heads=2,
                   compute_dtype="float32")
@@ -64,6 +66,7 @@ def test_frankmocap_variant():
     assert pred.shape == (2, 61)
 
 
+@pytest.mark.slow
 def test_vit_variant():
     opt = Options(net="ViT", vit_dim=64, vit_heads=2, iteration=2,
                   compute_dtype="float32")
@@ -72,6 +75,7 @@ def test_vit_variant():
     assert pred.shape == (2, 66)
 
 
+@pytest.mark.slow
 def test_vip_variant():
     opt = Options(net="ViP", iteration=2, compute_dtype="float32")
     model, mean = build_model(opt, image_size=IMG)
@@ -103,6 +107,7 @@ def test_favor_attention_approximates_softmax(rng):
     np.testing.assert_allclose(got, want, atol=0.15)
 
 
+@pytest.mark.slow
 def test_yunqian_transformer(rng):
     from scat_tpu.models.vit import YunqianTransformer
     model = YunqianTransformer(dim=64, depth=2, heads=2, out_dim=61)

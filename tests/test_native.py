@@ -44,6 +44,7 @@ def test_decode_wrong_size_fails(tmp_path):
         nl.decode_image(p, 48, 64)
 
 
+@pytest.mark.slow
 def test_warp_matches_device_affine_sample(rng):
     img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
     M = np.array([[1.7, 0.2, 3.0], [-0.1, 1.5, 1.0]], np.float32)

@@ -40,6 +40,7 @@ def test_fused_favor_3d_input(rng):
                                atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_favor_grad_matches(rng):
     b, h, t, e, m = 1, 2, 9, 32, 16
     q = jnp.asarray(rng.randn(b, h, t, e) * 0.2, jnp.float32)

@@ -20,6 +20,7 @@ def test_make_mesh_wildcard_and_2d():
     assert m.shape["data"] == 4 and m.shape["model"] == 2
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """Data-parallel pjit step == single-device step (grad allreduce +
     global BN stats are exact, not approximate)."""
@@ -65,6 +66,7 @@ def test_sharded_train_step_matches_single_device():
                                    atol=5e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import __graft_entry__ as g
     fn, args = g.entry()
@@ -73,11 +75,13 @@ def test_graft_entry_single():
     assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from scat_tpu import assets
     from scat_tpu.models.hand_net import EncoderTransformer

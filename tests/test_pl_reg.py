@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from scat_tpu import assets
 from scat_tpu.models.hand_net import EncoderTransformer
 from scat_tpu.models.losses import path_length_loss
+import pytest
 
 
 def _model_and_vars(rng):
@@ -27,6 +28,7 @@ def _model_and_vars(rng):
     return model, variables, x
 
 
+@pytest.mark.slow
 def test_pl_grad_matches_independent_jacobian(rng):
     model, variables, x = _model_and_vars(rng)
     (pred, fmap, pl_grad), _ = model.apply(
@@ -67,6 +69,7 @@ def test_pl_true_ema_threads_state(rng):
     assert float(state2) > float(state1)
 
 
+@pytest.mark.slow
 def test_pl_double_backward_is_finite(rng):
     """grad of (PL loss of the vjp probe) w.r.t. params — the
     double-backward the training step performs — is finite."""

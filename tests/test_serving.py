@@ -6,6 +6,7 @@ import jax
 
 from scat_tpu.config import Options
 from scat_tpu.serving import HandPosePredictor
+import pytest
 
 IMG = 64
 
@@ -17,6 +18,7 @@ def _predictor():
     return HandPosePredictor.from_checkpoint(opt, image_size=IMG)
 
 
+@pytest.mark.slow
 def test_predict_shapes_and_padding(rng):
     p = _predictor()
     out = p.predict((rng.rand(3, IMG, IMG, 3) * 255).astype(np.uint8))
@@ -27,6 +29,7 @@ def test_predict_shapes_and_padding(rng):
     np.testing.assert_allclose(out["joints_3d"][:, 1], 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predict_bucketing_consistency(rng):
     p = _predictor()
     imgs = (rng.rand(5, IMG, IMG, 3) * 255).astype(np.uint8)
@@ -38,6 +41,7 @@ def test_predict_bucketing_consistency(rng):
                                    single[i]["joints_3d"][0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_predict_float_input(rng):
     p = _predictor()
     u8 = (rng.rand(2, IMG, IMG, 3) * 255).astype(np.uint8)
@@ -47,6 +51,7 @@ def test_predict_float_input(rng):
     np.testing.assert_allclose(a["joints_3d"], b["joints_3d"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predict_from_frames(rng):
     p = _predictor()
     frames = (rng.rand(2, 240, 320, 3) * 255).astype(np.uint8)
@@ -57,6 +62,7 @@ def test_predict_from_frames(rng):
     assert out["crop_affine"].shape == (2, 2, 3)
 
 
+@pytest.mark.slow
 def test_oversized_request_chunks(rng):
     p = _predictor()
     p.max_batch = 4

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 
 from scat_tpu.parallel import mesh as mesh_lib
+import pytest
+
 from scat_tpu.parallel.sharding_rules import (make_param_shardings,
                                               shard_params)
 
@@ -46,6 +48,7 @@ def test_tp_forward_matches_replicated(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_full_model_tp_step_runs(rng):
     """The flagship train step compiles and runs with TP-sharded params
     on a 4x2 mesh."""

@@ -46,6 +46,7 @@ def test_coarse_head_honors_vit_heads():
     assert shapes[8] == (64, 8 * 64 * 3)
 
 
+@pytest.mark.slow
 def test_eval_step_returns_attention():
     """The jitted eval step emits the last layer's attention when asked —
     no second eager forward (round-1 evaluator re-ran the model)."""
@@ -74,6 +75,41 @@ def test_hand_choice_gate(tmp_path):
     opt = _coarse_opt(hand_choice="smplx", result_dir=str(tmp_path))
     with pytest.raises(ValueError, match="hand_choice"):
         Tester(opt)
+
+
+def test_pretrained_backbone_load(tmp_path):
+    """--pretrained_resnet_pth merges a torchvision-style .pth into the
+    backbone subtree with strict=False semantics (reference
+    resnet.py:186-196 always starts from ImageNet weights)."""
+    import torch
+    from test_torch_import import TorchResNet50
+    from scat_tpu.models.hand_net import EncoderTransformer
+    from scat_tpu.training.trainer import _load_pretrained_backbone
+
+    torch.manual_seed(0)
+    pth = tmp_path / "resnet50.pth"
+    torch.save(TorchResNet50().state_dict(), pth)
+
+    mean = jnp.asarray(assets.load_mean_params())
+    model = EncoderTransformer(mean_params=mean, heads=2, token_dim=64,
+                               use_pallas=False)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    before = np.asarray(
+        variables["params"]["main_encoder"]["conv1"]["kernel"]).copy()
+    head_before = np.asarray(
+        variables["params"]["regressor"]["kernel"]).copy()
+    params, bstats = _load_pretrained_backbone(
+        str(pth), variables["params"], variables["batch_stats"])
+    after = np.asarray(params["main_encoder"]["conv1"]["kernel"])
+    assert np.abs(after - before).max() > 1e-4, "backbone not updated"
+    np.testing.assert_array_equal(
+        np.asarray(params["regressor"]["kernel"]), head_before)
+    sd = torch.load(pth, weights_only=False)
+    np.testing.assert_allclose(
+        after, sd["conv1.weight"].numpy().transpose(2, 3, 1, 0),
+        rtol=1e-6)
 
 
 @pytest.mark.slow

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import torch
 import torch.nn as tnn
 
+import pytest
+
 from scat_tpu.models.transformer import (
     PyramidTransformer, PyramidTransformerAttn, random_token_mask,
     sinusoidal_position_encoding)
@@ -103,6 +105,7 @@ def _copy_params_to_flax(tm, params, depth):
     return p
 
 
+@pytest.mark.slow
 def test_pyramid_output_shape_and_dims(rng):
     model = PyramidTransformer(dim=784, depth=3, heads=8, dim_head=64)
     x = jnp.asarray(rng.randn(2, 21, 784), jnp.float32)
