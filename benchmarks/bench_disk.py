@@ -97,8 +97,12 @@ def main():
     assert loader.use_native, "native pipeline unavailable"
     n_batches = len(loader)
 
-    # --- host pipeline alone (native decode+warp+label math)
+    # --- host pipeline alone (native decode+warp+label math); one
+    # unmeasured warmup epoch first so the label-math jnp ops' one-time
+    # compiles don't pollute the steady-state rate
     import jax.numpy as jnp
+    for batch in loader:
+        jax.block_until_ready(batch["image"])
     t0 = time.perf_counter()
     n = 0
     for batch in loader:

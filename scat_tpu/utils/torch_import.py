@@ -177,6 +177,87 @@ def import_torch_encoder_transformer(
     return merged + m.merged
 
 
+def import_torch_hrnet(state_dict: Mapping[str, Any], params: Dict,
+                       batch_stats: Dict) -> int:
+    """Merge a reference-structured HRNet state_dict (hrnet.py:147-261,
+    official-weights key layout: transition double-Sequentials, per-stage
+    branches/fuse_layers ModuleLists) into scat_tpu.models.hrnet.HRNet's
+    flax trees IN PLACE.  strict=False; returns tensors merged."""
+    m = _Merger(params, batch_stats, state_dict)
+    for cv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
+        m.conv((cv,), cv)
+        m.bn((bn,), bn)
+    for b in range(4):
+        fb, tb = f"layer1_{b}", f"layer1.{b}"
+        for ci in range(1, 4):
+            m.conv((fb, f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
+            m.bn((fb, f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
+        if f"{tb}.downsample.0.weight" in state_dict:
+            m.conv((fb, "downsample_conv"), f"{tb}.downsample.0")
+            m.bn((fb, "downsample_bn"), f"{tb}.downsample.1")
+    for fl, tr in (("t1_conv0", "transition1.0"),
+                   ("t1_conv1", "transition1.1.0"),
+                   ("t2_conv", "transition2.2.0"),
+                   ("t3_conv", "transition3.3.0")):
+        m.conv((fl,), tr + ".0")
+        m.bn((fl.replace("conv", "bn"),), tr + ".1")
+    for s, nmod in ((2, 1), (3, 4), (4, 3)):
+        for mod in range(nmod):
+            fmod, tmod = f"stage{s}_{mod}", f"stage{s}.{mod}"
+            out_b = 1 if (s == 4 and mod == 2) else s
+            for i in range(s):
+                for b in range(4):
+                    tb = f"{tmod}.branches.{i}.{b}"
+                    for ci in (1, 2):
+                        m.conv((fmod, f"branch{i}_block{b}",
+                                f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
+                        m.bn((fmod, f"branch{i}_block{b}",
+                              f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
+            for i in range(out_b):
+                for j in range(s):
+                    if i == j:
+                        continue
+                    base = f"{tmod}.fuse_layers.{i}.{j}"
+                    if i < j:
+                        m.conv((fmod, f"fuse{i}_{j}_conv"), f"{base}.0")
+                        m.bn((fmod, f"fuse{i}_{j}_bn"), f"{base}.1")
+                    else:
+                        for k in range(i - j - 1):
+                            m.conv((fmod, f"fuse{i}_{j}_down{k}_conv"),
+                                   f"{base}.{k}.0")
+                            m.bn((fmod, f"fuse{i}_{j}_down{k}_bn"),
+                                 f"{base}.{k}.1")
+                        m.conv((fmod, f"fuse{i}_{j}_final_conv"),
+                               f"{base}.{i - j - 1}.0")
+                        m.bn((fmod, f"fuse{i}_{j}_final_bn"),
+                             f"{base}.{i - j - 1}.1")
+    m.conv(("final_layer",), "final_layer")
+    m.raw(("final_layer", "bias"), "final_layer.bias")
+    return m.merged
+
+
+def import_torch_inception(state_dict: Mapping[str, Any], params: Dict,
+                           batch_stats: Dict) -> int:
+    """Merge a torchvision-style (truncated) Inception-v3 state_dict
+    into scat_tpu.models.inception.Inception3's trees IN PLACE.  The
+    flax module names mirror torchvision's, so the walk is generic:
+    every ``<prefix>.conv`` / ``<prefix>.bn`` pair maps by path."""
+    m = _Merger(params, batch_stats, state_dict)
+    seen = set()
+    for key in state_dict:
+        if key.endswith(".conv.weight"):
+            prefix = key[: -len(".conv.weight")]
+            m.conv(tuple(prefix.split(".")) + ("conv",),
+                   prefix + ".conv")
+        elif ".bn." in key:
+            prefix = key.split(".bn.")[0]
+            if prefix in seen:
+                continue
+            seen.add(prefix)
+            m.bn(tuple(prefix.split(".")) + ("bn",), prefix + ".bn")
+    return m.merged
+
+
 def load_torch_checkpoint(path: str) -> Mapping[str, Any]:
     """Load a .pth state dict on CPU (torch is CPU-only in this image)."""
     import torch

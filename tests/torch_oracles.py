@@ -277,3 +277,287 @@ class EncoderTransformerCoarse(nn.Module):
         pred_params = torch.cat([cameras, pred_3d.reshape(-1, 63)],
                                 dim=1)
         return pred_params, feat_visual, attn
+
+
+# ---------------------------------------------------------------------
+# HRNet (reference models/hrnet.py:10-261) — module nesting matches the
+# reference so state_dict keys line up with official/shipped weights.
+# ---------------------------------------------------------------------
+
+class HRBottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            r = self.downsample(x)
+        return self.relu(out + r)
+
+
+class HRBasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU()
+        self.conv2 = nn.Conv2d(inplanes, planes, 3, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+
+    def forward(self, x):
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + x)
+
+
+class HRStageModule(nn.Module):
+    """reference hrnet.py:79-144."""
+
+    def __init__(self, stage, output_branches, c):
+        super().__init__()
+        self.stage = stage
+        self.output_branches = output_branches
+        self.branches = nn.ModuleList()
+        for i in range(stage):
+            w = c * (2 ** i)
+            self.branches.append(nn.Sequential(
+                *[HRBasicBlock(w, w) for _ in range(4)]))
+        self.fuse_layers = nn.ModuleList()
+        for i in range(output_branches):
+            row = nn.ModuleList()
+            for j in range(stage):
+                if i == j:
+                    row.append(nn.Sequential())
+                elif i < j:
+                    row.append(nn.Sequential(
+                        nn.Conv2d(c * 2 ** j, c * 2 ** i, 1, bias=False),
+                        nn.BatchNorm2d(c * 2 ** i),
+                        nn.Upsample(scale_factor=2.0 ** (j - i),
+                                    mode="nearest")))
+                else:
+                    ops = []
+                    for _ in range(i - j - 1):
+                        ops.append(nn.Sequential(
+                            nn.Conv2d(c * 2 ** j, c * 2 ** j, 3, 2, 1,
+                                      bias=False),
+                            nn.BatchNorm2d(c * 2 ** j), nn.ReLU()))
+                    ops.append(nn.Sequential(
+                        nn.Conv2d(c * 2 ** j, c * 2 ** i, 3, 2, 1,
+                                  bias=False),
+                        nn.BatchNorm2d(c * 2 ** i)))
+                    row.append(nn.Sequential(*ops))
+            self.fuse_layers.append(row)
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        x = [branch(b) for branch, b in zip(self.branches, x)]
+        fused = []
+        for i in range(len(self.fuse_layers)):
+            for j in range(len(self.branches)):
+                if j == 0:
+                    fused.append(self.fuse_layers[i][0](x[0]))
+                else:
+                    fused[i] = fused[i] + self.fuse_layers[i][j](x[j])
+        return [self.relu(f) for f in fused]
+
+
+class TorchHRNet(nn.Module):
+    """reference hrnet.py:147-261."""
+
+    def __init__(self, c=48, nof_joints=17):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.conv2 = nn.Conv2d(64, 64, 3, 2, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        downsample = nn.Sequential(nn.Conv2d(64, 256, 1, bias=False),
+                                   nn.BatchNorm2d(256))
+        self.layer1 = nn.Sequential(
+            HRBottleneck(64, 64, downsample=downsample),
+            HRBottleneck(256, 64), HRBottleneck(256, 64),
+            HRBottleneck(256, 64))
+        self.transition1 = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(256, c, 3, 1, 1, bias=False),
+                          nn.BatchNorm2d(c), nn.ReLU()),
+            nn.Sequential(nn.Sequential(
+                nn.Conv2d(256, c * 2, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(c * 2), nn.ReLU()))])
+        self.stage2 = nn.Sequential(HRStageModule(2, 2, c))
+        self.transition2 = nn.ModuleList([
+            nn.Sequential(), nn.Sequential(),
+            nn.Sequential(nn.Sequential(
+                nn.Conv2d(c * 2, c * 4, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(c * 4), nn.ReLU()))])
+        self.stage3 = nn.Sequential(
+            *[HRStageModule(3, 3, c) for _ in range(4)])
+        self.transition3 = nn.ModuleList([
+            nn.Sequential(), nn.Sequential(), nn.Sequential(),
+            nn.Sequential(nn.Sequential(
+                nn.Conv2d(c * 4, c * 8, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(c * 8), nn.ReLU()))])
+        self.stage4 = nn.Sequential(
+            HRStageModule(4, 4, c), HRStageModule(4, 4, c),
+            HRStageModule(4, 1, c))
+        self.final_layer = nn.Conv2d(c, nof_joints, 1)
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.relu(self.bn2(self.conv2(x)))
+        x = self.layer1(x)
+        x = [trans(x) for trans in self.transition1]
+        x = self.stage2(x)
+        x = [self.transition2[0](x[0]), self.transition2[1](x[1]),
+             self.transition2[2](x[-1])]
+        x = self.stage3(x)
+        x = [self.transition3[0](x[0]), self.transition3[1](x[1]),
+             self.transition3[2](x[2]), self.transition3[3](x[-1])]
+        x = self.stage4(x)
+        return self.final_layer(x[0])
+
+
+# ---------------------------------------------------------------------
+# Truncated Inception-v3 (reference models/inception.py:62-139: stem
+# through Mixed_6e, aux/D/E heads absent from the truncated forward).
+# Torchvision-style names so real checkpoints map directly.
+# ---------------------------------------------------------------------
+
+class BasicConv2d(nn.Module):
+    def __init__(self, in_ch, out_ch, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(out_ch, eps=0.001)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class TorchInceptionA(nn.Module):
+    def __init__(self, in_ch, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(in_ch, 48, kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3,
+                                          padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3,
+                                          padding=1)
+        self.branch_pool = BasicConv2d(in_ch, pool_features,
+                                       kernel_size=1)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(
+            self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class TorchInceptionB(nn.Module):
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(in_ch, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3,
+                                          padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3,
+                                          stride=2)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(
+            self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, 3, 2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class TorchInceptionC(nn.Module):
+    def __init__(self, in_ch, channels_7x7):
+        super().__init__()
+        c7 = channels_7x7
+        self.branch1x1 = BasicConv2d(in_ch, 192, kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(in_ch, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                       padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1),
+                                       padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(in_ch, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch_pool = BasicConv2d(in_ch, 192, kernel_size=1)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+            self.branch7x7dbl_3(self.branch7x7dbl_2(
+                self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class TorchInception3Trunc(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3,
+                                         padding=1)
+        self.maxpool1 = nn.MaxPool2d(3, 2)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.maxpool2 = nn.MaxPool2d(3, 2)
+        self.Mixed_5b = TorchInceptionA(192, 32)
+        self.Mixed_5c = TorchInceptionA(256, 64)
+        self.Mixed_5d = TorchInceptionA(288, 64)
+        self.Mixed_6a = TorchInceptionB(288)
+        self.Mixed_6b = TorchInceptionC(768, 128)
+        self.Mixed_6c = TorchInceptionC(768, 160)
+        self.Mixed_6d = TorchInceptionC(768, 160)
+        self.Mixed_6e = TorchInceptionC(768, 192)
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = self.maxpool1(x)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = self.maxpool2(x)
+        x = self.Mixed_5b(x)
+        x = self.Mixed_5c(x)
+        x = self.Mixed_5d(x)
+        x = self.Mixed_6a(x)
+        x = self.Mixed_6b(x)
+        x = self.Mixed_6c(x)
+        x = self.Mixed_6d(x)
+        return self.Mixed_6e(x)
