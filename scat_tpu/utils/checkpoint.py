@@ -42,14 +42,37 @@ def save_state(folder: str, state: TrainState, name: str = PERIODIC_NAME
     return path
 
 
+def _load_pth_into(path: str, params: Any, batch_stats: Any):
+    """Merge a reference torch ``.pth`` into (params, batch_stats)
+    copies; returns the new trees.  Layout auto-detected
+    (torch_import.import_torch_auto)."""
+    import flax
+    from scat_tpu.utils import torch_import
+    sd = torch_import.load_torch_checkpoint(path)
+    p = flax.core.unfreeze(params)
+    b = flax.core.unfreeze(batch_stats) if batch_stats is not None else {}
+    merged = torch_import.import_torch_auto(sd, p, b)
+    print(f"torch checkpoint: merged {merged} tensors from {path}")
+    return p, b
+
+
 def restore_state(path: str, template: TrainState
                   ) -> Optional[TrainState]:
     """Restore a full train state; returns None if the path is missing
-    (reference train.py:68-70 prints and trains from scratch)."""
+    (reference train.py:68-70 prints and trains from scratch).
+
+    A ``.pth`` path loads a reference torch checkpoint instead:
+    params + BN stats merge in, optimizer state starts fresh — exactly
+    the reference's resume semantics (train.py:66-75 reloads only the
+    state_dict)."""
     path = os.path.abspath(path)
     if not os.path.exists(path):
         print(f"Error: {path} does not exists, Start from Scratch...")
         return None
+    if path.endswith(".pth"):
+        p, b = _load_pth_into(path, template.params,
+                              template.batch_stats)
+        return template.replace(params=p, batch_stats=b)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, template)
     print(f"Checkpoint loaded from: {path}")
@@ -61,7 +84,14 @@ def restore_variables_nonstrict(path: str, params: Any,
     """Partial load of params AND normalization statistics.
 
     Returns ``(params, batch_stats)``; eval without the trained BN
-    running stats would silently normalize with init values."""
+    running stats would silently normalize with init values.
+
+    Reference ``.pth`` checkpoints (``--checkpoint_path_eval
+    experiments/.../hand_net_final.pth``, eval.sh:5) load directly via
+    the torch importers — a reference user's existing weights evaluate
+    in this framework unchanged."""
+    if path.endswith(".pth") and os.path.exists(os.path.abspath(path)):
+        return _load_pth_into(os.path.abspath(path), params, batch_stats)
     new_params = restore_params_nonstrict(path, params, key="params")
     if batch_stats is None:
         return new_params, batch_stats

@@ -258,6 +258,29 @@ def import_torch_inception(state_dict: Mapping[str, Any], params: Dict,
     return m.merged
 
 
+def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
+                      batch_stats: Dict) -> int:
+    """Dispatch a torch state_dict to the right importer by its key
+    layout: full EncoderTransformer heads (plain or attn-variant
+    transformer), bare HRNet, truncated Inception, or a torchvision
+    ResNet.  Used to load reference ``hand_net*.pth`` files directly in
+    the eval/resume paths."""
+    ks = list(state_dict.keys())
+    if any(k.startswith("transformer.layers") for k in ks):
+        coarse = "transformer.layers.0.0.to_qkv.weight" in state_dict
+        return import_torch_encoder_transformer(
+            state_dict, params, batch_stats, coarse=coarse)
+    if any(k.startswith("stage2.") for k in ks):
+        return import_torch_hrnet(state_dict, params, batch_stats)
+    if any(k.startswith("Mixed_5b") for k in ks):
+        return import_torch_inception(state_dict, params, batch_stats)
+    if any(k.startswith("layer1.") for k in ks):
+        return import_torch_resnet(state_dict, params, batch_stats)
+    raise ValueError(
+        "unrecognized torch checkpoint layout: "
+        + ", ".join(sorted(ks)[:5]))
+
+
 def load_torch_checkpoint(path: str) -> Mapping[str, Any]:
     """Load a .pth state dict on CPU (torch is CPU-only in this image)."""
     import torch
