@@ -203,7 +203,11 @@ class Trainer:
                 for batch in batches:
                     self.state, stats = self.train_step(self.state,
                                                         batch)
-                    timer.tick(stats["loss"])
+                    # sync only at log boundaries — a per-step
+                    # block_until_ready would serialize dispatch with
+                    # device execution and host work
+                    timer.tick(stats["loss"] if i % log_every == 0
+                               else None)
                     n_samples += self.batch_size
                     global_step += 1
                     if opt.debug and i % 100 == 0:

@@ -1,16 +1,23 @@
-"""Pretrained-weight import: torchvision ResNet state_dict -> flax params.
+"""Torch <-> flax weight interchange.
 
-The reference downloads ImageNet ResNet weights from the torch model zoo
-and merges them with ``strict=False`` (reference resnet.py:186-196).
-Zero-egress TPU pods can't download, so this utility converts a local
-``.pth``/state-dict into our flax parameter tree; anything that doesn't
-match (fc1, the 5-output head) keeps its fresh initialization — the same
-partial-load semantics.
+Import: the reference downloads ImageNet ResNet weights from the torch
+model zoo and merges them with ``strict=False`` (reference
+resnet.py:186-196); these utilities convert local ``.pth``/state-dicts
+into our flax trees with the same partial-load semantics — for the
+ImageNet backbone, for complete reference ``hand_net*.pth`` checkpoints
+(EncoderTransformer plain/coarse), and for HRNet / truncated-Inception
+backbones.
+
+Export: the inverse — our flax (params, batch_stats) rendered as a
+reference-keyed torch state_dict, so weights trained HERE load into the
+reference with ``load_state_dict`` unchanged.  Both directions share one
+path-mapping walk per architecture (a visitor pattern), so the mapping
+cannot drift between them.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -26,6 +33,8 @@ def _conv_kernel(w: np.ndarray) -> np.ndarray:
 
 
 class _Merger:
+    """Visitor that copies torch state_dict tensors INTO flax trees."""
+
     def __init__(self, params: Dict, batch_stats: Dict,
                  sd: Mapping[str, Any]):
         self.params = params
@@ -33,6 +42,9 @@ class _Merger:
         self.sd = sd
         self.merged = 0
         self.skipped = []
+
+    def has(self, flax_path: Tuple[str, ...], torch_name: str) -> bool:
+        return torch_name + ".weight" in self.sd
 
     def _set(self, tree: Dict, path: Tuple[str, ...], value: np.ndarray):
         node = tree
@@ -85,35 +97,119 @@ class _Merger:
             self._set(self.params, flax_path, _np(self.sd[torch_name]))
 
 
-def import_torch_resnet(state_dict: Mapping[str, Any],
-                        params: Dict, batch_stats: Dict,
-                        stage_sizes=(3, 4, 6, 3)) -> int:
-    """Merge a torchvision-style ResNet state_dict into (params,
-    batch_stats) of scat_tpu.models.resnet.ResNet IN PLACE.  Returns the
-    number of tensors merged; unmatched entries are skipped
-    (``strict=False`` semantics, reference resnet.py:195)."""
-    m = _Merger(params, batch_stats, state_dict)
-    m.conv(("conv1",), "conv1")
-    m.bn(("bn1",), "bn1")
+class _Exporter:
+    """Visitor that renders flax trees AS a torch-keyed state_dict
+    (numpy values; wrap in torch.tensor before torch.save if desired —
+    torch.load accepts either for load_state_dict after as_tensor)."""
+
+    def __init__(self, params: Dict, batch_stats: Optional[Dict]):
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.out: Dict[str, np.ndarray] = {}
+
+    def _leaf(self, tree, path):
+        node = tree
+        for k in path:
+            if not isinstance(node, dict) or k not in node:
+                return None
+            node = node[k]
+        return None if isinstance(node, dict) else np.asarray(node)
+
+    def has(self, flax_path: Tuple[str, ...], torch_name: str) -> bool:
+        node = self.params
+        for k in flax_path:
+            if not isinstance(node, dict) or k not in node:
+                return False
+            node = node[k]
+        return True
+
+    def conv(self, flax_path, torch_name):
+        k = self._leaf(self.params, flax_path + ("kernel",))
+        if k is not None:
+            self.out[torch_name + ".weight"] = np.ascontiguousarray(
+                np.transpose(k, (3, 2, 0, 1)))
+
+    def bn(self, flax_path, torch_name):
+        table = [("scale", ".weight", self.params),
+                 ("bias", ".bias", self.params),
+                 ("mean", ".running_mean", self.batch_stats),
+                 ("var", ".running_var", self.batch_stats)]
+        wrote = False
+        for leaf, suffix, tree in table:
+            v = self._leaf(tree, flax_path + (leaf,))
+            if v is not None:
+                self.out[torch_name + suffix] = v
+                wrote = True
+        if wrote:
+            self.out[torch_name + ".num_batches_tracked"] = np.asarray(
+                0, np.int64)
+
+    def dense(self, flax_path, torch_name):
+        w = self._leaf(self.params, flax_path + ("kernel",))
+        if w is not None:
+            self.out[torch_name + ".weight"] = np.ascontiguousarray(w.T)
+        b = self._leaf(self.params, flax_path + ("bias",))
+        if b is not None:
+            self.out[torch_name + ".bias"] = b
+
+    def ln(self, flax_path, torch_name):
+        for leaf, suffix in (("scale", ".weight"), ("bias", ".bias")):
+            v = self._leaf(self.params, flax_path + (leaf,))
+            if v is not None:
+                self.out[torch_name + suffix] = v
+
+    def raw(self, flax_path, torch_name):
+        v = self._leaf(self.params, flax_path)
+        if v is not None:
+            self.out[torch_name] = v
+
+
+class _Scoped:
+    """Visitor wrapper that prefixes both name spaces (e.g. the backbone
+    living under ``main_encoder`` in a composed head)."""
+
+    def __init__(self, v, flax_prefix: Tuple[str, ...],
+                 torch_prefix: str):
+        self._v = v
+        self._fp = flax_prefix
+        self._tp = torch_prefix
+
+    def __getattr__(self, name):
+        inner = getattr(self._v, name)
+
+        def call(flax_path, torch_name):
+            return inner(self._fp + tuple(flax_path),
+                         self._tp + torch_name)
+        return call
+
+
+# ----------------------------------------------------------------------
+# Architecture walks — ONE mapping per architecture, shared by both
+# directions.
+# ----------------------------------------------------------------------
+
+def _walk_resnet(v, stage_sizes=(3, 4, 6, 3)) -> None:
+    """5-output ResNet family (reference resnet.py:101-162 +
+    torchvision key layout); fc1 is the reference's replacement head."""
+    v.conv(("conv1",), "conv1")
+    v.bn(("bn1",), "bn1")
     for stage, blocks in enumerate(stage_sizes):
         for b in range(blocks):
             fb = f"layer{stage + 1}_{b}"
             tb = f"layer{stage + 1}.{b}"
             for ci in range(1, 4):
-                if f"{tb}.conv{ci}.weight" not in state_dict:
+                if not v.has((fb, f"Conv_{ci - 1}"), f"{tb}.conv{ci}"):
                     continue
-                m.conv((fb, f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
-                m.bn((fb, f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
-            if f"{tb}.downsample.0.weight" in state_dict:
-                m.conv((fb, "downsample_conv"), f"{tb}.downsample.0")
-                m.bn((fb, "downsample_bn"), f"{tb}.downsample.1")
-    # the reference's replacement head (resnet.py:116): fc1 512*exp->1024
-    m.dense(("fc1",), "fc1")
-    return m.merged
+                v.conv((fb, f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
+                v.bn((fb, f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
+            if v.has((fb, "downsample_conv"), f"{tb}.downsample.0"):
+                v.conv((fb, "downsample_conv"), f"{tb}.downsample.0")
+                v.bn((fb, "downsample_bn"), f"{tb}.downsample.1")
+    v.dense(("fc1",), "fc1")
 
 
-def _pyramid_layers(m: _Merger, depth: int, coarse: bool) -> None:
-    """Merge the pyramid transformer stack.
+def _walk_pyramid(v, depth: int, coarse: bool) -> None:
+    """Pyramid transformer stack.
 
     Torch key layouts (from the reference module nesting):
       * plain (vision_transformer.py:82-101):
@@ -134,73 +230,52 @@ def _pyramid_layers(m: _Merger, depth: int, coarse: bool) -> None:
         else:
             attn_base, norm_name, ff_idx = (f"{L}.0.fn.fn",
                                             f"{L}.0.fn.norm", 1)
-        m.dense(("transformer", f"attn_{i}", "to_qkv"),
+        v.dense(("transformer", f"attn_{i}", "to_qkv"),
                 attn_base + ".to_qkv")
-        m.dense(("transformer", f"attn_{i}", "to_out"),
+        v.dense(("transformer", f"attn_{i}", "to_out"),
                 attn_base + ".to_out.0")
-        m.ln(("transformer", f"attn_norm_{i}"), norm_name)
+        v.ln(("transformer", f"attn_norm_{i}"), norm_name)
         ff = f"{L}.{ff_idx}"
         if final:
             net = ff
         else:
             net = ff + ".fn"
-            m.ln(("transformer", f"ff_norm_{i}"), ff + ".norm")
-        m.dense(("transformer", f"ff_{i}", "Dense_0"), net + ".net.0")
-        m.dense(("transformer", f"ff_{i}", "Dense_1"), net + ".net.2")
+            v.ln(("transformer", f"ff_norm_{i}"), ff + ".norm")
+        v.dense(("transformer", f"ff_{i}", "Dense_0"), net + ".net.0")
+        v.dense(("transformer", f"ff_{i}", "Dense_1"), net + ".net.2")
 
 
-def import_torch_encoder_transformer(
-        state_dict: Mapping[str, Any], params: Dict, batch_stats: Dict,
-        depth: int = 3, coarse: bool = False) -> int:
-    """Merge a complete reference ``EncoderTransformer``
-    (hand_net.py:315-398) or ``EncoderTransformerCoarse`` (:216-311)
-    state_dict into our flax (params, batch_stats) IN PLACE: ResNet-50
-    backbone + fc1, conv1x1 reduction, the full pyramid transformer
-    (QKV/out projections, LayerNorms, FFNs), the learned mask token and
-    the iterative regressor.  ``strict=False`` semantics throughout;
-    returns the number of tensors merged.
-
-    The sinusoidal PE and mean_params are not ported: the PE is a
-    deterministic buffer recomputed on our side (hand_net.py:61-77
-    parity is asserted by tests), and the reference never registers
-    mean_params in its state_dict.
-    """
-    sub = {k[len("main_encoder."):]: v for k, v in state_dict.items()
-           if k.startswith("main_encoder.")}
-    merged = import_torch_resnet(sub, params["main_encoder"],
-                                 batch_stats.get("main_encoder", {}))
-    m = _Merger(params, batch_stats, state_dict)
-    m.conv(("conv1x1_channel_reduction",), "conv1x1_channel_reduction")
-    m.raw(("mask_token",), "mask_token")
-    m.dense(("regressor",), "regressor")
-    _pyramid_layers(m, depth, coarse)
-    return merged + m.merged
+def _walk_encoder(v, depth: int, coarse: bool) -> None:
+    """Complete EncoderTransformer / EncoderTransformerCoarse
+    (reference hand_net.py:315-398 / :216-311).  The sinusoidal PE and
+    mean_params are deterministic/unregistered and never walked."""
+    _walk_resnet(_Scoped(v, ("main_encoder",), "main_encoder."))
+    v.conv(("conv1x1_channel_reduction",), "conv1x1_channel_reduction")
+    v.raw(("mask_token",), "mask_token")
+    v.dense(("regressor",), "regressor")
+    _walk_pyramid(v, depth, coarse)
 
 
-def import_torch_hrnet(state_dict: Mapping[str, Any], params: Dict,
-                       batch_stats: Dict) -> int:
-    """Merge a reference-structured HRNet state_dict (hrnet.py:147-261,
-    official-weights key layout: transition double-Sequentials, per-stage
-    branches/fuse_layers ModuleLists) into scat_tpu.models.hrnet.HRNet's
-    flax trees IN PLACE.  strict=False; returns tensors merged."""
-    m = _Merger(params, batch_stats, state_dict)
+def _walk_hrnet(v) -> None:
+    """HRNet (reference hrnet.py:147-261, official-weights key layout:
+    transition double-Sequentials, per-stage branches/fuse_layers)."""
     for cv, bn in (("conv1", "bn1"), ("conv2", "bn2")):
-        m.conv((cv,), cv)
-        m.bn((bn,), bn)
+        v.conv((cv,), cv)
+        v.bn((bn,), bn)
     for b in range(4):
         fb, tb = f"layer1_{b}", f"layer1.{b}"
         for ci in range(1, 4):
-            m.conv((fb, f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
-            m.bn((fb, f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
-        if f"{tb}.downsample.0.weight" in state_dict:
-            m.conv((fb, "downsample_conv"), f"{tb}.downsample.0")
-            m.bn((fb, "downsample_bn"), f"{tb}.downsample.1")
+            v.conv((fb, f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
+            v.bn((fb, f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
+        if v.has((fb, "downsample_conv"), f"{tb}.downsample.0"):
+            v.conv((fb, "downsample_conv"), f"{tb}.downsample.0")
+            v.bn((fb, "downsample_bn"), f"{tb}.downsample.1")
     for fl, tr in (("t1_conv0", "transition1.0"),
                    ("t1_conv1", "transition1.1.0"),
                    ("t2_conv", "transition2.2.0"),
                    ("t3_conv", "transition3.3.0")):
-        m.conv((fl,), tr + ".0")
-        m.bn((fl.replace("conv", "bn"),), tr + ".1")
+        v.conv((fl,), tr + ".0")
+        v.bn((fl.replace("conv", "bn"),), tr + ".1")
     for s, nmod in ((2, 1), (3, 4), (4, 3)):
         for mod in range(nmod):
             fmod, tmod = f"stage{s}_{mod}", f"stage{s}.{mod}"
@@ -209,9 +284,9 @@ def import_torch_hrnet(state_dict: Mapping[str, Any], params: Dict,
                 for b in range(4):
                     tb = f"{tmod}.branches.{i}.{b}"
                     for ci in (1, 2):
-                        m.conv((fmod, f"branch{i}_block{b}",
+                        v.conv((fmod, f"branch{i}_block{b}",
                                 f"Conv_{ci - 1}"), f"{tb}.conv{ci}")
-                        m.bn((fmod, f"branch{i}_block{b}",
+                        v.bn((fmod, f"branch{i}_block{b}",
                               f"BatchNorm_{ci - 1}"), f"{tb}.bn{ci}")
             for i in range(out_b):
                 for j in range(s):
@@ -219,42 +294,78 @@ def import_torch_hrnet(state_dict: Mapping[str, Any], params: Dict,
                         continue
                     base = f"{tmod}.fuse_layers.{i}.{j}"
                     if i < j:
-                        m.conv((fmod, f"fuse{i}_{j}_conv"), f"{base}.0")
-                        m.bn((fmod, f"fuse{i}_{j}_bn"), f"{base}.1")
+                        v.conv((fmod, f"fuse{i}_{j}_conv"), f"{base}.0")
+                        v.bn((fmod, f"fuse{i}_{j}_bn"), f"{base}.1")
                     else:
                         for k in range(i - j - 1):
-                            m.conv((fmod, f"fuse{i}_{j}_down{k}_conv"),
+                            v.conv((fmod, f"fuse{i}_{j}_down{k}_conv"),
                                    f"{base}.{k}.0")
-                            m.bn((fmod, f"fuse{i}_{j}_down{k}_bn"),
+                            v.bn((fmod, f"fuse{i}_{j}_down{k}_bn"),
                                  f"{base}.{k}.1")
-                        m.conv((fmod, f"fuse{i}_{j}_final_conv"),
+                        v.conv((fmod, f"fuse{i}_{j}_final_conv"),
                                f"{base}.{i - j - 1}.0")
-                        m.bn((fmod, f"fuse{i}_{j}_final_bn"),
+                        v.bn((fmod, f"fuse{i}_{j}_final_bn"),
                              f"{base}.{i - j - 1}.1")
-    m.conv(("final_layer",), "final_layer")
-    m.raw(("final_layer", "bias"), "final_layer.bias")
+    v.conv(("final_layer",), "final_layer")
+    v.raw(("final_layer", "bias"), "final_layer.bias")
+
+
+def _walk_conv_bn_tree(v, tree: Dict, path: Tuple[str, ...] = ()) -> None:
+    """Generic walk for torchvision-mirroring trees (the truncated
+    Inception): every ``<prefix>/conv`` + ``<prefix>/bn`` pair maps by
+    its dotted path."""
+    if not isinstance(tree, dict):
+        return
+    for k, sub in tree.items():
+        p = path + (k,)
+        if k == "conv" and isinstance(sub, dict) and "kernel" in sub:
+            v.conv(p, ".".join(p))
+        elif k == "bn" and isinstance(sub, dict) and "scale" in sub:
+            v.bn(p, ".".join(p))
+        else:
+            _walk_conv_bn_tree(v, sub, p)
+
+
+# ----------------------------------------------------------------------
+# Import surface (strict=False semantics; returns tensors merged)
+# ----------------------------------------------------------------------
+
+def import_torch_resnet(state_dict: Mapping[str, Any],
+                        params: Dict, batch_stats: Dict,
+                        stage_sizes=(3, 4, 6, 3)) -> int:
+    """Merge a torchvision-style ResNet state_dict into (params,
+    batch_stats) of scat_tpu.models.resnet.ResNet IN PLACE."""
+    m = _Merger(params, batch_stats, state_dict)
+    _walk_resnet(m, stage_sizes)
+    return m.merged
+
+
+def import_torch_encoder_transformer(
+        state_dict: Mapping[str, Any], params: Dict, batch_stats: Dict,
+        depth: int = 3, coarse: bool = False) -> int:
+    """Merge a complete reference ``EncoderTransformer``
+    (hand_net.py:315-398) or ``EncoderTransformerCoarse`` (:216-311)
+    state_dict into our flax (params, batch_stats) IN PLACE."""
+    m = _Merger(params, batch_stats, state_dict)
+    _walk_encoder(m, depth, coarse)
+    return m.merged
+
+
+def import_torch_hrnet(state_dict: Mapping[str, Any], params: Dict,
+                       batch_stats: Dict) -> int:
+    """Merge a reference-structured HRNet state_dict into
+    scat_tpu.models.hrnet.HRNet's flax trees IN PLACE."""
+    m = _Merger(params, batch_stats, state_dict)
+    _walk_hrnet(m)
     return m.merged
 
 
 def import_torch_inception(state_dict: Mapping[str, Any], params: Dict,
                            batch_stats: Dict) -> int:
     """Merge a torchvision-style (truncated) Inception-v3 state_dict
-    into scat_tpu.models.inception.Inception3's trees IN PLACE.  The
-    flax module names mirror torchvision's, so the walk is generic:
-    every ``<prefix>.conv`` / ``<prefix>.bn`` pair maps by path."""
+    into scat_tpu.models.inception.Inception3's trees IN PLACE."""
     m = _Merger(params, batch_stats, state_dict)
-    seen = set()
-    for key in state_dict:
-        if key.endswith(".conv.weight"):
-            prefix = key[: -len(".conv.weight")]
-            m.conv(tuple(prefix.split(".")) + ("conv",),
-                   prefix + ".conv")
-        elif ".bn." in key:
-            prefix = key.split(".bn.")[0]
-            if prefix in seen:
-                continue
-            seen.add(prefix)
-            m.bn(tuple(prefix.split(".")) + ("bn",), prefix + ".bn")
+    _walk_conv_bn_tree(m, params)
     return m.merged
 
 
@@ -279,6 +390,44 @@ def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
     raise ValueError(
         "unrecognized torch checkpoint layout: "
         + ", ".join(sorted(ks)[:5]))
+
+
+# ----------------------------------------------------------------------
+# Export surface (reference-keyed state_dicts from flax trees)
+# ----------------------------------------------------------------------
+
+def export_torch_resnet(params: Dict, batch_stats: Optional[Dict] = None,
+                        stage_sizes=(3, 4, 6, 3)) -> Dict[str, np.ndarray]:
+    e = _Exporter(params, batch_stats)
+    _walk_resnet(e, stage_sizes)
+    return e.out
+
+
+def export_torch_encoder_transformer(
+        params: Dict, batch_stats: Optional[Dict] = None,
+        depth: int = 3, coarse: bool = False) -> Dict[str, np.ndarray]:
+    """Render our EncoderTransformer[Coarse] as a reference-keyed
+    state_dict — weights trained here run in the torch reference via
+    ``net.load_state_dict({k: torch.as_tensor(v) ...}, strict=False)``
+    (strict=False only because the reference registers the PE buffer)."""
+    e = _Exporter(params, batch_stats)
+    _walk_encoder(e, depth, coarse)
+    return e.out
+
+
+def export_torch_hrnet(params: Dict, batch_stats: Optional[Dict] = None
+                       ) -> Dict[str, np.ndarray]:
+    e = _Exporter(params, batch_stats)
+    _walk_hrnet(e)
+    return e.out
+
+
+def export_torch_inception(params: Dict,
+                           batch_stats: Optional[Dict] = None
+                           ) -> Dict[str, np.ndarray]:
+    e = _Exporter(params, batch_stats)
+    _walk_conv_bn_tree(e, params)
+    return e.out
 
 
 def load_torch_checkpoint(path: str) -> Mapping[str, Any]:

@@ -96,6 +96,46 @@ def test_encoder_transformer_composed_parity(rng):
 
 
 @pytest.mark.slow
+def test_encoder_transformer_export_roundtrip(rng):
+    """The OTHER direction: weights trained here load into the torch
+    reference (export_torch_encoder_transformer) and reproduce our
+    forward — full two-way interchangeability."""
+    from scat_tpu.utils.torch_import import (
+        export_torch_encoder_transformer)
+    torch.manual_seed(2)
+    mean = torch.randn(1, 66) * 0.1
+    mean[0, 0] = 5.0
+    model = EncoderTransformer(
+        mean_params=jnp.asarray(mean.numpy()[0]), iteration=2, heads=8,
+        mask_rate=0.0, token_dim=784, use_pallas=False)
+    x_np = (rng.randn(1, 224, 224, 3) * 0.5).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.key(7), "mask": jax.random.key(8)},
+        jnp.asarray(x_np), train=False)
+    sd = export_torch_encoder_transformer(
+        flax.core.unfreeze(variables["params"]),
+        flax.core.unfreeze(variables["batch_stats"]))
+
+    tm = torch_oracles.EncoderTransformer(mean, iteration=2, heads=8)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.as_tensor(np.array(v)) for k, v in sd.items()},
+        strict=False)
+    # only the deterministic PE buffer may be missing; nothing spare
+    assert all("positionalEncoding" in k for k in missing), missing
+    assert not unexpected, unexpected
+    tm.eval()
+
+    pred, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        tpred, _ = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(pred), tpred.numpy(),
+                               atol=ATOL)
+
+
+@pytest.mark.slow
 def test_encoder_transformer_coarse_composed_parity(rng):
     torch.manual_seed(1)
     mean = torch.randn(1, 66) * 0.1
