@@ -310,6 +310,14 @@ def _walk_hrnet(v) -> None:
     v.raw(("final_layer", "bias"), "final_layer.bias")
 
 
+def _walk_h3dw(v) -> None:
+    """H3DWEncoder (reference hand_net.py:28-58): resnet50 backbone +
+    feat_encoder Sequential(relu, fc2, relu) + regressor Sequential."""
+    _walk_resnet(_Scoped(v, ("ResNet_0",), "main_encoder."))
+    v.dense(("fc2",), "feat_encoder.1")
+    v.dense(("regressor",), "regressor.0")
+
+
 def _walk_conv_bn_tree(v, tree: Dict, path: Tuple[str, ...] = ()) -> None:
     """Generic walk for torchvision-mirroring trees (the truncated
     Inception): every ``<prefix>/conv`` + ``<prefix>/bn`` pair maps by
@@ -381,6 +389,12 @@ def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
         coarse = "transformer.layers.0.0.to_qkv.weight" in state_dict
         return import_torch_encoder_transformer(
             state_dict, params, batch_stats, coarse=coarse)
+    if any(k.startswith("feat_encoder.") for k in ks):
+        m = _Merger(params, batch_stats, state_dict)
+        # H3DWJointsEncoder wraps the encoder under "h3dw"
+        v = _Scoped(m, ("h3dw",), "") if "h3dw" in params else m
+        _walk_h3dw(v)
+        return m.merged
     if any(k.startswith("stage2.") for k in ks):
         return import_torch_hrnet(state_dict, params, batch_stats)
     if any(k.startswith("Mixed_5b") for k in ks):
@@ -412,6 +426,14 @@ def export_torch_encoder_transformer(
     (strict=False only because the reference registers the PE buffer)."""
     e = _Exporter(params, batch_stats)
     _walk_encoder(e, depth, coarse)
+    return e.out
+
+
+def export_torch_h3dw(params: Dict, batch_stats: Optional[Dict] = None
+                      ) -> Dict[str, np.ndarray]:
+    e = _Exporter(params, batch_stats)
+    v = _Scoped(e, ("h3dw",), "") if "h3dw" in params else e
+    _walk_h3dw(v)
     return e.out
 
 

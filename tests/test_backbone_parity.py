@@ -63,6 +63,44 @@ def test_hrnet_matches_torch_reference(rng):
 
 
 @pytest.mark.slow
+def test_h3dw_matches_torch_reference(rng):
+    """frankmocap H3DW encoder composed parity via import_torch_auto
+    (reference hand_net.py:28-58): backbone + fc2 + iterative 61-dim
+    regressor."""
+    from scat_tpu import assets
+    from scat_tpu.models.hand_net import H3DWEncoder
+    from scat_tpu.utils.torch_import import import_torch_auto
+
+    torch.manual_seed(2)
+    mean = assets.load_mean_mano_pose("extra_data/mean_mano_params.pkl")
+    tm = torch_oracles.TorchH3DWEncoder(
+        torch.from_numpy(np.asarray(mean, np.float32)[None]))
+    _randomize_bn(tm)
+    tm.eval()
+
+    model = H3DWEncoder(mean_params=jnp.asarray(mean))
+    # 224 input: the reference head needs the 7x7 avgpool geometry
+    x_np = (rng.randn(1, 224, 224, 3) * 0.5).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np),
+                           train=False)
+    params = flax.core.unfreeze(variables["params"])
+    bstats = flax.core.unfreeze(variables["batch_stats"])
+    sd = tm.state_dict()
+    merged = import_torch_auto(sd, params, bstats)
+    assert merged == len(_portable(sd)), (
+        f"merged {merged} != {len(_portable(sd))}")
+
+    feat, pred = model.apply({"params": params, "batch_stats": bstats},
+                             jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        tfeat, tpred = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(feat), tfeat.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pred), tpred.numpy(),
+                               atol=1e-3)
+
+
+@pytest.mark.slow
 def test_inception_matches_torch_reference(rng):
     torch.manual_seed(1)
     tm = torch_oracles.TorchInception3Trunc()

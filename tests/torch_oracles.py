@@ -561,3 +561,24 @@ class TorchInception3Trunc(nn.Module):
         x = self.Mixed_6c(x)
         x = self.Mixed_6d(x)
         return self.Mixed_6e(x)
+
+
+class TorchH3DWEncoder(nn.Module):
+    """reference hand_net.py:28-58 (frankmocap baseline)."""
+
+    def __init__(self, mean_params):
+        super().__init__()
+        self.mean_params = mean_params.clone()
+        relu = nn.ReLU()
+        fc2 = nn.Linear(1024, 1024)
+        self.feat_encoder = nn.Sequential(relu, fc2, relu)
+        self.regressor = nn.Sequential(nn.Linear(1024 + 61, 61))
+        self.main_encoder = TorchResNet50Head()
+
+    def forward(self, x):
+        main_feat, *_ = self.main_encoder(x)
+        feat = self.feat_encoder(main_feat)
+        pred = self.mean_params.repeat(x.size(0), 1).clone()
+        for _ in range(3):
+            pred = pred + self.regressor(torch.cat([feat, pred], 1))
+        return feat, pred
