@@ -276,35 +276,49 @@ def maybe_motion_blur(images: jax.Array, rng: np.random.RandomState
     each sample independently rolls use_blur, kernel size 1..10 and
     vertical/horizontal).
 
-    TPU-static formulation: every sample's centered box kernel is
-    embedded into a fixed 11-tap offset window (offsets -5..5, anchor
-    ``ksize//2`` — cv2.filter2D's convention), both axis blurs are
-    computed for the whole batch as shifted adds, and a per-sample
-    [B,1,1,1] select picks {original, vertical, horizontal}.  No dynamic
-    shapes, one vectorized pass."""
+    Cost-aware static formulation: the ~B/6 selected samples are
+    gathered into a FIXED-size slot array (size ~B/3, index 0 padding —
+    static shapes, so the eager jnp ops hit one compiled shape per
+    batch size), each slot's centered box kernel is embedded into an
+    11-tap offset window (offsets -5..5, anchor ``ksize//2`` —
+    cv2.filter2D's convention), both axis blurs run as shifted adds on
+    the subset only, and the results scatter back.  Borders are
+    REFLECT_101 like cv2.filter2D's default.  The slot count covers
+    >5 sigma of Binomial(B, 1/6), so truncation is essentially never."""
     B = images.shape[0]
     use = rng.randint(0, 6, size=B) == 1
-    if not use.any():
-        return images
     ksize = rng.randint(1, 11, size=B)
     axis = rng.randint(0, 2, size=B)  # 0 vertical, 1 horizontal
+    if not use.any():
+        return images
+    n_slots = min(B, B // 3 + 2)
+    sel = np.nonzero(use)[0][:n_slots]
+    slots = np.full((n_slots,), sel[0], np.int32)
+    slots[: len(sel)] = sel
+
     offs = np.arange(-5, 6)
-    anchor = ksize // 2
+    anchor = ksize[slots] // 2
     inside = ((offs[None] >= -anchor[:, None])
-              & (offs[None] <= (ksize - 1 - anchor)[:, None]))
+              & (offs[None] <= (ksize[slots] - 1 - anchor)[:, None]))
     w = jnp.asarray(inside.astype(np.float32)
-                    / ksize[:, None].astype(np.float32))
+                    / ksize[slots][:, None].astype(np.float32))
     x = images.astype(jnp.float32)
+    sub = jnp.take(x, jnp.asarray(slots), axis=0)
     h, wd = x.shape[1], x.shape[2]
-    pad_v = jnp.pad(x, ((0, 0), (5, 5), (0, 0), (0, 0)), mode="edge")
-    pad_h = jnp.pad(x, ((0, 0), (0, 0), (5, 5), (0, 0)), mode="edge")
+    pad_v = jnp.pad(sub, ((0, 0), (5, 5), (0, 0), (0, 0)),
+                    mode="reflect")
+    pad_h = jnp.pad(sub, ((0, 0), (0, 0), (5, 5), (0, 0)),
+                    mode="reflect")
     vblur = sum(w[:, i, None, None, None] * pad_v[:, i:i + h]
                 for i in range(11))
     hblur = sum(w[:, i, None, None, None] * pad_h[:, :, i:i + wd]
                 for i in range(11))
-    blurred = jnp.where(jnp.asarray(axis == 0)[:, None, None, None],
+    blurred = jnp.where(jnp.asarray(axis[slots] == 0)[:, None, None,
+                                                      None],
                         vblur, hblur)
-    return jnp.where(jnp.asarray(use)[:, None, None, None], blurred, x)
+    # duplicate padding slots all carry sel[0]'s params -> identical
+    # values, so the scatter is deterministic
+    return x.at[jnp.asarray(slots)].set(blurred)
 
 
 def get_loader_STB(stage: str = "training", bs: int = 128,

@@ -45,11 +45,13 @@ def _load_pretrained_backbone(path: str, params, batch_stats):
     backbone subtree, ``strict=False`` (the reference always initializes
     from model-zoo weights, resnet.py:186-196; zero-egress pods must
     stage the file locally — see --pretrained_resnet_pth in config.py)."""
-    import flax
     from scat_tpu.utils import torch_import
     sd = torch_import.load_torch_checkpoint(path)
-    params = flax.core.unfreeze(params)
-    batch_stats = flax.core.unfreeze(batch_stats) if batch_stats else {}
+    # rebuild containers: flax.core.unfreeze is identity on plain dicts
+    # and the merge would otherwise mutate the caller's trees
+    params = jax.tree.map(lambda x: x, dict(params))
+    batch_stats = (jax.tree.map(lambda x: x, dict(batch_stats))
+                   if batch_stats else {})
     p_sub = params.get("main_encoder", params)
     b_sub = batch_stats.get("main_encoder", batch_stats)
     merged = torch_import.import_torch_resnet(sd, p_sub, b_sub)
@@ -210,8 +212,12 @@ class Trainer:
                                else None)
                     n_samples += self.batch_size
                     global_step += 1
-                    if opt.debug and i % 100 == 0:
-                        self._debug_visualize(batch, stats)
+                if opt.debug and i % 100 == 0:
+                    # one render per firing (the reference re-renders —
+                    # and overwrites the same PNG — once per dataset in
+                    # the tuple, train.py:211-222; the last one is the
+                    # only one that survives, so render only that)
+                    self._debug_visualize(batch, stats)
                 running_loss += float(stats["loss"])
                 loss_3d += float(stats["loss_3d"])
                 loss_2d += float(stats["loss_2d"])
@@ -232,10 +238,15 @@ class Trainer:
                         "ms_per_step": timer.ms_per_step,
                     })
                     running_loss = loss_3d = loss_2d = 0.0
+                    # per-window timing: a lifetime average would
+                    # dilute late-training slowdowns and absorb the
+                    # checkpoint-save stalls below into step time
+                    timer.reset()
             dt = time.time() - t_epoch
             print(f"epoch {epoch + 1}: {n_samples / dt:.1f} samples/s")
             if epoch % opt.checkpoint_every_epochs == 0:
                 ckpt_lib.save_state(opt.checkpoint_folder, self.state)
+                timer.reset()
         print("Finished Training")
         logger.close()
         ckpt_lib.save_state(opt.checkpoint_folder, self.state,

@@ -43,15 +43,38 @@ def save_state(folder: str, state: TrainState, name: str = PERIODIC_NAME
 
 
 def _load_pth_into(path: str, params: Any, batch_stats: Any):
-    """Merge a reference torch ``.pth`` into (params, batch_stats)
-    copies; returns the new trees.  Layout auto-detected
-    (torch_import.import_torch_auto)."""
-    import flax
+    """Merge a reference torch ``.pth`` into FRESH COPIES of
+    (params, batch_stats); returns the new trees.  Layout auto-detected
+    (torch_import.import_torch_auto).
+
+    Coverage is validated: zero merges is an error (wrong architecture
+    entirely), and a partial merge — shape mismatches from e.g. a
+    heads/depth flag that differs from the checkpoint — prints a loud
+    warning, because eval on half-random weights yields finite-looking
+    garbage metrics."""
     from scat_tpu.utils import torch_import
     sd = torch_import.load_torch_checkpoint(path)
-    p = flax.core.unfreeze(params)
-    b = flax.core.unfreeze(batch_stats) if batch_stats is not None else {}
+    # rebuild the container dicts so the caller's trees are never
+    # mutated (flax.core.unfreeze is identity on plain dicts)
+    p = jax.tree.map(lambda x: x, dict(params))
+    b = (jax.tree.map(lambda x: x, dict(batch_stats))
+         if batch_stats is not None else {})
     merged = torch_import.import_torch_auto(sd, p, b)
+    portable = [k for k in sd
+                if k.endswith((".weight", ".bias", ".running_mean",
+                               ".running_var"))
+                and "positionalEncoding" not in k] \
+        + (["mask_token"] if "mask_token" in sd else [])
+    if merged == 0:
+        raise ValueError(
+            f"{path}: no tensor of the torch checkpoint matched the "
+            "built model — architecture mismatch "
+            f"(checkpoint keys: {sorted(sd)[:4]}...)")
+    if merged < len(portable):
+        print(f"WARNING: only {merged}/{len(portable)} checkpoint "
+              f"tensors matched the model (shape/arch mismatch — check "
+              "--vit_heads/--vit_depth/--net against the checkpoint); "
+              "unmatched weights keep their fresh initialization")
     print(f"torch checkpoint: merged {merged} tensors from {path}")
     return p, b
 
@@ -90,8 +113,14 @@ def restore_variables_nonstrict(path: str, params: Any,
     experiments/.../hand_net_final.pth``, eval.sh:5) load directly via
     the torch importers — a reference user's existing weights evaluate
     in this framework unchanged."""
-    if path.endswith(".pth") and os.path.exists(os.path.abspath(path)):
-        return _load_pth_into(os.path.abspath(path), params, batch_stats)
+    if path.endswith(".pth"):
+        apath = os.path.abspath(path)
+        if not os.path.exists(apath):
+            # match torch.load: a typo'd eval checkpoint must not fall
+            # through to evaluating randomly-initialized weights
+            raise FileNotFoundError(
+                f"torch checkpoint {apath} does not exist")
+        return _load_pth_into(apath, params, batch_stats)
     new_params = restore_params_nonstrict(path, params, key="params")
     if batch_stats is None:
         return new_params, batch_stats

@@ -387,8 +387,13 @@ def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
     ks = list(state_dict.keys())
     if any(k.startswith("transformer.layers") for k in ks):
         coarse = "transformer.layers.0.0.to_qkv.weight" in state_dict
+        # infer the pyramid depth from the checkpoint itself — a
+        # hard-coded 3 would silently skip layers of a --vit_depth!=3
+        # model (layer keys are transformer.layers.{i}....)
+        depth = 1 + max(int(k.split(".")[2]) for k in ks
+                        if k.startswith("transformer.layers."))
         return import_torch_encoder_transformer(
-            state_dict, params, batch_stats, coarse=coarse)
+            state_dict, params, batch_stats, depth=depth, coarse=coarse)
     if any(k.startswith("feat_encoder.") for k in ks):
         m = _Merger(params, batch_stats, state_dict)
         # H3DWJointsEncoder wraps the encoder under "h3dw"
@@ -419,11 +424,18 @@ def export_torch_resnet(params: Dict, batch_stats: Optional[Dict] = None,
 
 def export_torch_encoder_transformer(
         params: Dict, batch_stats: Optional[Dict] = None,
-        depth: int = 3, coarse: bool = False) -> Dict[str, np.ndarray]:
+        depth: Optional[int] = None, coarse: bool = False
+        ) -> Dict[str, np.ndarray]:
     """Render our EncoderTransformer[Coarse] as a reference-keyed
     state_dict — weights trained here run in the torch reference via
     ``net.load_state_dict({k: torch.as_tensor(v) ...}, strict=False)``
-    (strict=False only because the reference registers the PE buffer)."""
+    (strict=False only because the reference registers the PE buffer).
+    ``depth=None`` infers the pyramid depth from the param tree."""
+    if depth is None:
+        tr = params.get("transformer", {})
+        depth = 1 + max((int(k.split("_")[-1]) for k in tr
+                         if k.startswith("attn_") and "norm" not in k),
+                        default=2)
     e = _Exporter(params, batch_stats)
     _walk_encoder(e, depth, coarse)
     return e.out

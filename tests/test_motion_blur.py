@@ -10,14 +10,16 @@ from scat_tpu.data.stb import maybe_motion_blur
 
 def _ref_blur(img, ksize, axis):
     """Reference motion_blur re-executed in numpy for one sample:
-    centered length-k box kernel, cv2.filter2D anchor k//2, edge
-    borders (load_STB.py:154-187)."""
+    centered length-k box kernel, cv2.filter2D anchor k//2 and default
+    BORDER_REFLECT_101 borders (load_STB.py:154-187)."""
     a = ksize // 2
     out = np.zeros_like(img, np.float64)
     n = img.shape[axis]
     for j in range(ksize):
         off = j - a
-        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        idx = np.arange(n) + off
+        idx = np.where(idx < 0, -idx, idx)            # reflect-101 low
+        idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)  # high
         out += np.take(img, idx, axis=axis) / ksize
     return out
 

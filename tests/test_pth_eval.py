@@ -51,6 +51,65 @@ def test_evaluator_loads_reference_pth(tmp_path, rng):
     assert np.isfinite(res["mpjpe_mm"]) and np.isfinite(res["auc"])
 
 
+def test_pth_depth_inferred_and_mismatch_guarded(tmp_path, capsys):
+    """Non-default --vit_depth checkpoints import fully (depth inferred
+    from the keys, not hard-coded 3); architecture mismatches are loud:
+    zero merges raise, partial merges warn."""
+    import flax
+    import torch_oracles as to
+    from scat_tpu.models.hand_net import EncoderTransformer
+
+    torch.manual_seed(5)
+    mean_t = torch.randn(1, 66) * 0.1
+    tm = to.EncoderTransformer(mean_t, iteration=1, heads=2)
+    tm.transformer = to.Transformer(64, 4, 2, 64, 48)  # depth 4!
+    pth = tmp_path / "hand_net.pth"
+    torch.save(tm.state_dict(), pth)
+
+    model = EncoderTransformer(mean_params=jnp.asarray(mean_t[0].numpy()),
+                               iteration=1, heads=2, depth=4,
+                               token_dim=64, use_pallas=False)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    p = flax.core.unfreeze(variables["params"])
+    b = flax.core.unfreeze(variables["batch_stats"])
+    from scat_tpu.utils.torch_import import import_torch_auto
+    merged = import_torch_auto(tm.state_dict(), p, b)
+    # every transformer.layers.3 tensor must have landed
+    l3 = [k for k in tm.state_dict() if k.startswith(
+        "transformer.layers.3")]
+    assert l3, "oracle has no depth-4 layer?"
+    # to_qkv of layer 3 merged => shapes matched at inferred depth
+    got = np.asarray(p["transformer"]["attn_3"]["to_qkv"]["kernel"])
+    want = tm.state_dict()["transformer.layers.3.0.fn.fn.to_qkv.weight"]
+    np.testing.assert_allclose(got, want.numpy().T, rtol=1e-6)
+
+    # zero-merge raises; partial merge warns
+    from scat_tpu.utils import checkpoint as ck
+    bogus = tmp_path / "bogus.pth"
+    torch.save({"decoder.weight": torch.zeros(3, 3)}, bogus)
+    with pytest.raises(ValueError, match="unrecognized"):
+        ck.restore_variables_nonstrict(str(bogus), p, b)
+    # recognized layout but zero-overlap model: merged==0 raises too
+    from test_torch_import import TorchResNet50
+    rn = tmp_path / "rn.pth"
+    torch.save(TorchResNet50().state_dict(), rn)
+    with pytest.raises(ValueError, match="no tensor"):
+        # an encoder-model tree has no top-level layer1 — nothing merges
+        ck.restore_variables_nonstrict(str(rn), p, b)
+    with pytest.raises(FileNotFoundError):
+        ck.restore_variables_nonstrict(str(tmp_path / "typo.pth"), p, b)
+    # heads mismatch: qkv shapes skip -> warning
+    tm8 = to.EncoderTransformer(mean_t, iteration=1, heads=8)
+    tm8.transformer = to.Transformer(64, 4, 8, 64, 48)
+    pth8 = tmp_path / "h8.pth"
+    torch.save(tm8.state_dict(), pth8)
+    ck.restore_variables_nonstrict(str(pth8), p, b)
+    outerr = capsys.readouterr().out
+    assert "WARNING" in outerr and "matched the model" in outerr
+
+
 def test_restore_state_pth_resume(tmp_path):
     """--resume --checkpoint_hand hand_net.pth merges params+BN stats
     and restarts the optimizer — the reference's resume semantics
