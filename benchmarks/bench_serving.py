@@ -1,0 +1,71 @@
+"""Serving-latency benchmark on the chip: per-request wall-clock of the
+HandPosePredictor (scat_tpu/serving.py) across batch buckets — the
+deployment-shaped numbers (cold-bucket compile amortized by warmup,
+steady p50/p99 per request size, crops/s at each bucket).
+
+Unlike the training bench this measures the FULL request path a server
+pays: host uint8 -> device transfer -> normalize -> forward -> D2H of
+joints.  Requests vary per iteration (the remote execution layer
+memoizes identical launches).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_serving.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/scat_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    from scat_tpu.config import Options
+    from scat_tpu.serving import HandPosePredictor
+    from scat_tpu.models import build_model
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    opt = Options(net="reg_transformer", vit_heads=8, iteration=3,
+                  use_pallas_attention=on_tpu)
+    model, mean = build_model(opt, 224, for_keypoints=True)
+    import jax.numpy as jnp
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
+    pred = HandPosePredictor(model, variables["params"],
+                             variables.get("batch_stats", {}))
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for n in (1, 8, 32, 64):
+        # warm the bucket
+        pred.predict(rng.randint(0, 255, (n, 224, 224, 3), np.uint8))
+        lats = []
+        for it in range(30):
+            req = rng.randint(0, 255, (n, 224, 224, 3), np.uint8)
+            t0 = time.perf_counter()
+            out = pred.predict(req)
+            _ = out["joints_3d"][0, 0, 0]   # force D2H completion
+            lats.append((time.perf_counter() - t0) * 1000)
+        lats = np.sort(lats)
+        results[f"bs{n}"] = {
+            "p50_ms": round(float(np.percentile(lats, 50)), 2),
+            "p99_ms": round(float(np.percentile(lats, 99)), 2),
+            "crops_per_sec": round(n / np.percentile(lats, 50) * 1000,
+                                   1),
+        }
+        print(f"bs{n:3d}: p50 {results[f'bs{n}']['p50_ms']:7.2f} ms  "
+              f"p99 {results[f'bs{n}']['p99_ms']:7.2f} ms  "
+              f"{results[f'bs{n}']['crops_per_sec']:8.1f} crops/s")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
