@@ -146,13 +146,16 @@ class DemoRunner:
                     jnp.asarray(img, jnp.float32)[None]),
                 M, self.image_size, self.image_size, fill=-1.0)
             pred, fmap, j3d, j2d = self._forward(crop)
-            # feature-map tiles (eval.py:651-665; inverted grayscale)
+            # feature-map tiles (eval.py:651-665; inverted grayscale) —
+            # only spatial [H,W,C] feature maps tile; vector-feature
+            # heads (ViT/ViP emit [dim]) have nothing to render
             fm = np.asarray(fmap[0], np.float32)
-            tiles = 255 - draw.feature_map_tiles(
-                np.clip(fm * 127.5 + 127.5, 0, 255) / 255.0)
-            import cv2
-            cv2.imwrite(os.path.join(self.result_dir,
-                                     f"fm/{n:03d}.png"), tiles)
+            if fm.ndim == 3:
+                tiles = 255 - draw.feature_map_tiles(
+                    np.clip(fm * 127.5 + 127.5, 0, 255) / 255.0)
+                import cv2
+                cv2.imwrite(os.path.join(self.result_dir,
+                                         f"fm/{n:03d}.png"), tiles)
             pred_3d = np.asarray(j3d)[0]
             pred_2d = np.asarray(j2d)[0]
             gt_3d = np.asarray(kp_3d, np.float32).reshape(21, 3)
@@ -254,3 +257,21 @@ def ho3d_vibe_demo(seq_name: str, opt: Options) -> SequenceLoader:
         j2d.append(kp2)
     return SequenceLoader(np.stack(images), np.stack(j2d).astype(np.float32),
                           np.stack(j3d).astype(np.float32))
+
+
+def main(argv=None):
+    """CLI for the temporal demo — the flow the reference's shipped
+    ``__main__`` actually runs (eval.py:1073-1076 calls demo(); main()
+    and test() are commented out there)."""
+    from scat_tpu.config import BaseOptions
+    opt = BaseOptions().parse(argv)
+    runner = DemoRunner(opt)
+    if opt.eval_dataset.lower() in ("stb", "mhp"):
+        runner.loader = stb_vibe_demo("B1Counting", opt)
+    else:
+        runner.loader = ho3d_vibe_demo("SM1", opt)
+    runner.demo(eval_set=opt.eval_dataset)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,7 +134,14 @@ def restore_params_nonstrict(path: str, params: Any,
                              quiet: bool = False) -> Any:
     """Partial parameter load: keep current values for anything missing
     in the checkpoint — the ``strict=False`` semantics the reference uses
-    for both resume and eval loading (train.py:73, eval.py:393-402)."""
+    for both resume and eval loading (train.py:73, eval.py:393-402).
+
+    An empty path means "from scratch" explicitly (abspath('') would
+    otherwise resolve to the cwd and hit the orbax loader)."""
+    if not path:
+        if not quiet:
+            print("no checkpoint path given, Start from Scratch...")
+        return params
     path = os.path.abspath(path)
     if not os.path.exists(path):
         if not quiet:

@@ -54,3 +54,40 @@ def test_bench_cli_cpu():
     assert data["metric"] == "train_samples_per_sec_per_chip"
     assert data["value"] > 0
     assert data["unit"] == "hand-crops/s/chip"
+
+
+def test_demo_and_test_cli_importable():
+    """The demo/test entry shims exist, import, and expose the
+    reference's shipped-__main__ flows (eval.py:1073-1076 runs demo())."""
+    import importlib
+    for mod in ("scat_tpu.demo", "scat_tpu.test"):
+        m = importlib.import_module(mod)
+        assert callable(m.main)
+
+
+@pytest.mark.slow
+def test_test_cli_runs_on_rgb_folder(tmp_path):
+    """python -m scat_tpu.test over a folder of crops (reference
+    test.py:297-303 uses ./rgb/) produces overlays + param dumps."""
+    import numpy as np
+    from PIL import Image
+    rgb = tmp_path / "rgb"
+    rgb.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(224, 224, 3) * 255).astype(np.uint8)
+                        ).save(rgb / f"im{i}.jpg")
+    out = tmp_path / "out"
+    # empty checkpoint path = explicit from-scratch weights (a missing
+    # .pth now fails loudly, matching torch.load)
+    code = (BOOT + "from scat_tpu.config import BaseOptions; "
+            "from scat_tpu.evaluation.tester import Tester; "
+            f"opt = BaseOptions().parse(['--result_dir', r'{out}', "
+            "'--compute_dtype', 'float32', "
+            "'--checkpoint_path_eval', '']); "
+            f"Tester(opt).test(r'{rgb}')")
+    r = subprocess.run([sys.executable, "-c", code], env=ENV,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    dumps = list(out.glob("*_params.txt"))
+    assert len(dumps) == 2, list(out.iterdir())
