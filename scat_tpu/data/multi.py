@@ -5,9 +5,9 @@ a *tuple of per-dataset samples* so the train loop iterates
 ``for data in datas`` over one batch from each dataset
 (reference train.py:136-138); stage 1-6 picks the mix (only stage 3 /
 STB is live in the shipped snapshot, the rest commented).  Here every
-stage is wired to the corresponding loader (missing reference loaders
-were re-derived: freihand.py, ho3d.py); RHD/MHP remain unavailable and
-raise with the stage message.
+stage is wired to the corresponding loader; the loaders the reference
+imports but does not ship (SURVEY.md "Missing modules") are re-derived:
+freihand.py, ho3d.py, mhp.py, rhd.py.
 """
 
 from __future__ import annotations
@@ -50,13 +50,27 @@ def concat_dataset(batch_size: int, opt: Options) -> ConcatDataset:
         print("[STAGE][2] finetune, use RHD, STB, freiHand, STB, MHP.")
         from scat_tpu.data.freihand import get_loader_frei
         from scat_tpu.data.ho3d import get_loader_ho3d
-        # RHD/MHP loaders do not exist in the public reference either
-        # (SURVEY.md "Missing modules"); stage 2 runs with the three
-        # available datasets.
-        return ConcatDataset(
+        from scat_tpu.data.mhp import get_loader_MHP
+        # The reference's RHD/MHP loaders are missing upstream; MHP is
+        # re-derived (scat_tpu/data/mhp.py) and joins the mix when its
+        # tree is on disk (ConcatDataset truncates to the shortest
+        # member, so an empty MHP dir must not join), RHD likewise
+        # (scat_tpu/data/rhd.py).
+        members = [
             get_loader_frei("training", batch_size, opt),
             get_loader_ho3d("training", batch_size, opt),
-            get_loader_STB("training", batch_size, opt))
+            get_loader_STB("training", batch_size, opt)]
+        mhp = get_loader_MHP("training", batch_size, opt)
+        if len(mhp):
+            members.append(mhp)
+        try:
+            from scat_tpu.data.rhd import get_loader_RHD
+            rhd = get_loader_RHD("training", batch_size, opt)
+            if len(rhd):
+                members.append(rhd)
+        except ImportError:
+            pass
+        return ConcatDataset(*members)
     elif opt.stage == 3:
         print("[STAGE][3] finish, finetune.")
         return ConcatDataset(get_loader_STB("training", batch_size, opt))
@@ -71,7 +85,8 @@ def concat_dataset(batch_size: int, opt: Options) -> ConcatDataset:
         return ConcatDataset(
             get_loader_ho3d("training", batch_size, opt))
     elif opt.stage == 6:
-        raise NotImplementedError(
-            "[STAGE][6] Ablation Study on MHP: the MHP loader is absent "
-            "from the public reference snapshot (load_MHP.py missing) "
-            "and no layout contract exists to re-derive it.")
+        print("[STAGE][6] Ablation Study on MHP.")
+        from scat_tpu.data.mhp import get_loader_MHP
+        # the reference's load_MHP.py is missing upstream; the loader is
+        # re-derived from the surviving call sites (scat_tpu/data/mhp.py)
+        return ConcatDataset(get_loader_MHP("training", batch_size, opt))

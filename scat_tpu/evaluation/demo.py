@@ -113,11 +113,9 @@ class DemoRunner:
                 loader = stb_vibe_demo(seq, opt)
             elif eval_set == "ho3d":
                 loader = ho3d_vibe_demo(seq, opt)
-            else:
-                raise NotImplementedError(
-                    f"{eval_set} demo sequences require the {eval_set} "
-                    "dataset on disk (the MHP loader is absent from the "
-                    "public reference too); pass a SequenceLoader")
+            else:   # MHP_eval stand-in (reference eval.py:601-605)
+                from scat_tpu.data.mhp import mhp_eval
+                loader = mhp_eval(seq, opt)
         time_seq = min(loader.seq_len(), 200)
         mpjpe = np.zeros(time_seq)
         pck_all = np.zeros((len(RNGE), 22))

@@ -318,6 +318,46 @@ def _walk_h3dw(v) -> None:
     v.dense(("regressor",), "regressor.0")
 
 
+def _walk_token_head(v, depth: int) -> None:
+    """The 128-token head shared by the HRNet/Inception variants
+    (reference hand_net.py:87-146 / :150-213): conv reduction, learned
+    mask token, Sequential regressor (``regressor.0``), plain pyramid
+    transformer.  Our flax side nests the token head under ``head``."""
+    v.conv(("conv1x1_channel_reduction",), "conv1x1_channel_reduction")
+    h = _Scoped(v, ("head",), "")
+    h.raw(("mask_token",), "mask_token")
+    h.dense(("regressor",), "regressor.0")
+    _walk_pyramid(h, depth, coarse=False)
+
+
+def _walk_vit(v, depth: int) -> None:
+    """ViT (reference vision_transformer.py:103-153): patch embed, cls
+    token, learned pos-embed, pyramid transformer, Sequential head."""
+    v.dense(("patch_to_embedding",), "patch_to_embedding")
+    v.raw(("cls_token",), "cls_token")
+    v.raw(("pos_embedding",), "pos_embedding")
+    v.dense(("head",), "head.0")
+    _walk_pyramid(v, depth, coarse=False)
+
+
+def _walk_vip(v, depth: int) -> None:
+    """ViP / Performer (reference vision_performer.py:70-116) minus the
+    frozen Gaussian ``w`` (lives in flax's ``constants`` collection —
+    handled by the import/export functions)."""
+    v.raw(("pos_emb",), "pos_emb")
+    v.raw(("cls_token",), "cls_token")
+    v.dense(("patch_emb",), "patch_emb")
+    v.dense(("head",), "head")
+    for i in range(depth):
+        fb, tb = f"block_{i}", f"mains.{i}"
+        v.dense((fb, "kqv"), f"{tb}.kqv")
+        v.dense((fb, "proj"), f"{tb}.proj")
+        v.ln((fb, "ln1"), f"{tb}.ln1")
+        v.ln((fb, "ln2"), f"{tb}.ln2")
+        v.dense((fb, "mlp1"), f"{tb}.mlp.0")
+        v.dense((fb, "mlp2"), f"{tb}.mlp.2")
+
+
 def _walk_conv_bn_tree(v, tree: Dict, path: Tuple[str, ...] = ()) -> None:
     """Generic walk for torchvision-mirroring trees (the truncated
     Inception): every ``<prefix>/conv`` + ``<prefix>/bn`` pair maps by
@@ -377,6 +417,69 @@ def import_torch_inception(state_dict: Mapping[str, Any], params: Dict,
     return m.merged
 
 
+def import_torch_hrnet_encoder(
+        state_dict: Mapping[str, Any], params: Dict, batch_stats: Dict,
+        depth: int = 3) -> int:
+    """Merge a complete reference ``EncoderTransformerHRNet``
+    (hand_net.py:150-213) state_dict IN PLACE."""
+    m = _Merger(params, batch_stats, state_dict)
+    _walk_hrnet(_Scoped(m, ("main_encoder",), "main_encoder."))
+    _walk_token_head(m, depth)
+    return m.merged
+
+
+def import_torch_inception_encoder(
+        state_dict: Mapping[str, Any], params: Dict, batch_stats: Dict,
+        depth: int = 3) -> int:
+    """Merge a complete reference ``EncoderTransformerInception``
+    (hand_net.py:87-146) state_dict IN PLACE."""
+    m = _Merger(params, batch_stats, state_dict)
+    _walk_conv_bn_tree(_Scoped(m, ("main_encoder",), "main_encoder."),
+                       params.get("main_encoder", {}))
+    _walk_token_head(m, depth)
+    return m.merged
+
+
+def import_torch_vit(state_dict: Mapping[str, Any], params: Dict,
+                     batch_stats: Dict, depth: int = 3) -> int:
+    """Merge a reference ``ViT`` (vision_transformer.py:103-153)
+    state_dict IN PLACE."""
+    m = _Merger(params, batch_stats, state_dict)
+    _walk_vit(m, depth)
+    return m.merged
+
+
+def import_torch_vip(state_dict: Mapping[str, Any], params: Dict,
+                     constants: Dict, depth: int = 3) -> int:
+    """Merge a reference ``ViP`` (vision_performer.py:70-116) state_dict
+    IN PLACE.  The frozen Gaussian features ``mains.{i}.w`` land in the
+    flax ``constants`` collection."""
+    m = _Merger(params, {}, state_dict)
+    _walk_vip(m, depth)
+    c = _Merger(constants, {}, state_dict)
+    for i in range(depth):
+        c.raw((f"block_{i}", "w"), f"mains.{i}.w")
+    return m.merged + c.merged
+
+
+def export_torch_vit(params: Dict, depth: int = 3
+                     ) -> Dict[str, np.ndarray]:
+    e = _Exporter(params, None)
+    _walk_vit(e, depth)
+    return e.out
+
+
+def export_torch_vip(params: Dict, constants: Dict, depth: int = 3
+                     ) -> Dict[str, np.ndarray]:
+    e = _Exporter(params, None)
+    _walk_vip(e, depth)
+    c = _Exporter(constants, None)
+    for i in range(depth):
+        c.raw((f"block_{i}", "w"), f"mains.{i}.w")
+    e.out.update(c.out)
+    return e.out
+
+
 def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
                       batch_stats: Dict) -> int:
     """Dispatch a torch state_dict to the right importer by its key
@@ -385,6 +488,16 @@ def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
     ResNet.  Used to load reference ``hand_net*.pth`` files directly in
     the eval/resume paths."""
     ks = list(state_dict.keys())
+    if "patch_emb.weight" in state_dict:
+        raise ValueError(
+            "ViP checkpoints carry the frozen FAVOR+ features in "
+            "mains.{i}.w; load with import_torch_vip(sd, params, "
+            "constants) so they land in the 'constants' collection")
+    if "patch_to_embedding.weight" in state_dict:
+        depth = 1 + max(int(k.split(".")[2]) for k in ks
+                        if k.startswith("transformer.layers."))
+        return import_torch_vit(state_dict, params, batch_stats,
+                                depth=depth)
     if any(k.startswith("transformer.layers") for k in ks):
         coarse = "transformer.layers.0.0.to_qkv.weight" in state_dict
         # infer the pyramid depth from the checkpoint itself — a
@@ -392,6 +505,14 @@ def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
         # model (layer keys are transformer.layers.{i}....)
         depth = 1 + max(int(k.split(".")[2]) for k in ks
                         if k.startswith("transformer.layers."))
+        # backbone variants carry their backbone's key layout under
+        # main_encoder: HRNet (stage2...) / Inception (Mixed_5b...)
+        if any(k.startswith("main_encoder.stage2.") for k in ks):
+            return import_torch_hrnet_encoder(
+                state_dict, params, batch_stats, depth=depth)
+        if any(k.startswith("main_encoder.Mixed_5b") for k in ks):
+            return import_torch_inception_encoder(
+                state_dict, params, batch_stats, depth=depth)
         return import_torch_encoder_transformer(
             state_dict, params, batch_stats, depth=depth, coarse=coarse)
     if any(k.startswith("feat_encoder.") for k in ks):
@@ -461,6 +582,29 @@ def export_torch_inception(params: Dict,
                            ) -> Dict[str, np.ndarray]:
     e = _Exporter(params, batch_stats)
     _walk_conv_bn_tree(e, params)
+    return e.out
+
+
+def export_torch_hrnet_encoder(params: Dict,
+                               batch_stats: Optional[Dict] = None,
+                               depth: int = 3) -> Dict[str, np.ndarray]:
+    """Render our EncoderTransformerHRNet as a reference-keyed
+    state_dict (hand_net.py:150-213 key layout)."""
+    e = _Exporter(params, batch_stats)
+    _walk_hrnet(_Scoped(e, ("main_encoder",), "main_encoder."))
+    _walk_token_head(e, depth)
+    return e.out
+
+
+def export_torch_inception_encoder(
+        params: Dict, batch_stats: Optional[Dict] = None,
+        depth: int = 3) -> Dict[str, np.ndarray]:
+    """Render our EncoderTransformerInception as a reference-keyed
+    state_dict (hand_net.py:87-146 key layout)."""
+    e = _Exporter(params, batch_stats)
+    _walk_conv_bn_tree(_Scoped(e, ("main_encoder",), "main_encoder."),
+                       params.get("main_encoder", {}))
+    _walk_token_head(e, depth)
     return e.out
 
 

@@ -135,6 +135,99 @@ def test_encoder_transformer_export_roundtrip(rng):
                                atol=ATOL)
 
 
+def _port_head(tm, flax_model, x_np, import_fn):
+    """Port a complete backbone-variant head state_dict and assert full
+    coverage (everything but the PE buffer and BN bookkeeping lands)."""
+    variables = flax_model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.asarray(x_np), train=False)
+    params = flax.core.unfreeze(variables["params"])
+    batch_stats = flax.core.unfreeze(variables["batch_stats"])
+    sd = tm.state_dict()
+    merged = import_fn(sd, params, batch_stats)
+    portable = [k for k in sd
+                if "positionalEncoding" not in k
+                and not k.endswith("num_batches_tracked")]
+    assert merged == len(portable), (
+        f"merged {merged} != portable {len(portable)}")
+    return params, batch_stats
+
+
+@pytest.mark.slow
+def test_encoder_transformer_hrnet_composed_parity(rng):
+    """Composed parity for --net backbone_hrnet (reference
+    hand_net.py:150-213): HRNet-W24 backbone -> 512-channel reinterpret
+    -> conv reduction -> 128x196 tokens -> pyramid -> iterative 61-dim
+    regressor.  The shipped reference crashes on its own regressor
+    shape (hand_net.py:102,141-144); the oracle is the declared
+    architecture with the actually-produced input width (see
+    torch_oracles._TorchTokenHead)."""
+    from scat_tpu.models.hand_net import EncoderTransformerHRNet
+    from scat_tpu.utils.torch_import import import_torch_auto
+
+    torch.manual_seed(3)
+    mean = torch.randn(1, 61) * 0.1
+    tm = torch_oracles.EncoderTransformerHRNet(mean, iteration=3,
+                                               heads=8)
+    _randomize_bn(tm)
+    tm.eval()
+
+    model = EncoderTransformerHRNet(
+        mean_params=jnp.asarray(mean.numpy()[0]), iteration=3, heads=8,
+        mask_rate=0.0)
+    # 224 input: the reference hardcodes the [512,28,28] reinterpret
+    x_np = (rng.randn(1, 224, 224, 3) * 0.5).astype(np.float32)
+    params, batch_stats = _port_head(tm, model, x_np, import_torch_auto)
+
+    pred = model.apply({"params": params, "batch_stats": batch_stats},
+                       jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        tpred = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(pred), tpred.numpy(),
+                               atol=ATOL, err_msg="pred_params (eval)")
+
+
+@pytest.mark.slow
+def test_encoder_transformer_inception_composed_parity(rng):
+    """Composed parity for --net backbone_incepv3 (reference
+    hand_net.py:87-146): truncated Inception3 -> 192-channel reinterpret
+    -> conv reduction -> 128x196 tokens -> pyramid -> iterative 61-dim
+    regressor; plus the export direction round-trips."""
+    from scat_tpu.models.hand_net import EncoderTransformerInception
+    from scat_tpu.utils.torch_import import (
+        export_torch_inception_encoder, import_torch_auto)
+
+    torch.manual_seed(4)
+    mean = torch.randn(1, 61) * 0.1
+    tm = torch_oracles.EncoderTransformerInception(mean, iteration=3,
+                                                   heads=8)
+    _randomize_bn(tm)
+    tm.eval()
+
+    model = EncoderTransformerInception(
+        mean_params=jnp.asarray(mean.numpy()[0]), iteration=3, heads=8,
+        mask_rate=0.0)
+    # 224 input: the reference hardcodes the [192,24,24] reinterpret
+    x_np = (rng.randn(1, 224, 224, 3) * 0.5).astype(np.float32)
+    params, batch_stats = _port_head(tm, model, x_np, import_torch_auto)
+
+    pred = model.apply({"params": params, "batch_stats": batch_stats},
+                       jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        tpred = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(pred), tpred.numpy(),
+                               atol=ATOL, err_msg="pred_params (eval)")
+
+    # export direction: reference-keyed state_dict loads back into the
+    # torch oracle with nothing unexpected
+    sd_out = export_torch_inception_encoder(params, batch_stats)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.as_tensor(np.array(v)) for k, v in sd_out.items()},
+        strict=False)
+    assert all("positionalEncoding" in k for k in missing), missing
+    assert not unexpected, unexpected
+
+
 @pytest.mark.slow
 def test_encoder_transformer_coarse_composed_parity(rng):
     torch.manual_seed(1)

@@ -563,6 +563,213 @@ class TorchInception3Trunc(nn.Module):
         return self.Mixed_6e(x)
 
 
+class _TorchTokenHead(nn.Module):
+    """The shared 128-token head of the HRNet/Inception variants
+    (reference hand_net.py:87-146 / :150-213): conv reduction -> 128
+    tokens x 196 -> PE -> pyramid transformer -> token mean-pool ->
+    iterative Linear refinement from the 61-dim mean params.
+
+    The shipped reference declares the regressor as
+    ``Linear(196+61, 61)`` but feeds it the pyramid's 3-dim mean-pooled
+    output — a shape mismatch that crashes as shipped (hand_net.py:102,
+    141-144).  This oracle is the declared architecture with the input
+    width the forward actually produces (3+61), i.e. the working version
+    both sides implement; every other module/key matches the reference
+    nesting exactly."""
+
+    def __init__(self, mean_params, conv, iteration=3, heads=8,
+                 depth=3, pos_embed=True):
+        super().__init__()
+        self.mean_params = mean_params.clone()   # [1, 61]
+        self.conv1x1_channel_reduction = conv
+        self.transformer = Transformer(dim=196, depth=depth, heads=heads,
+                                       dim_head=64, mlp_dim=392)
+        self.iteration = iteration
+        self.regressor = nn.Sequential(nn.Linear(3 + 61, 61))
+        self.pos_embed = pos_embed
+        self.positionalEncoding = PositionalEncoding(196, max_len=128)
+        self.mask_token = nn.Parameter(torch.randn(1, 1, 196))
+
+    def run(self, feat_map):
+        feat = self.conv1x1_channel_reduction(feat_map)
+        feat = feat.view(feat.size(0), 128, -1)
+        if self.pos_embed:
+            feat = self.positionalEncoding(feat)
+        feat = self.transformer(feat, None).mean(dim=1)
+        pred = self.mean_params.repeat(feat.size(0), 1).clone()
+        for _ in range(self.iteration):
+            pred = pred + self.regressor(
+                torch.cat([feat, pred], dim=-1))
+        return pred
+
+
+class EncoderTransformerHRNet(_TorchTokenHead):
+    """reference hand_net.py:150-213: HRNet(c=24, 128 joints) ->
+    [bs,128,56,56] viewed as [bs,512,28,28] -> conv(512->128,k3,s2,p1)
+    -> token head."""
+
+    def __init__(self, mean_params, iteration=3, heads=8, depth=3,
+                 pos_embed=True):
+        super().__init__(
+            mean_params,
+            nn.Conv2d(512, 128, 3, 2, 1, bias=False),
+            iteration=iteration, heads=heads, depth=depth,
+            pos_embed=pos_embed)
+        self.main_encoder = TorchHRNet(c=24, nof_joints=128)
+
+    def forward(self, x):
+        f = self.main_encoder(x)                       # [bs,128,56,56]
+        # reference uses .view (hand_net.py:187); reshape is identical on
+        # the logical layout and robust to torch memory-format choices
+        return self.run(f.reshape(f.size(0), 512, 28, 28))
+
+
+class EncoderTransformerInception(_TorchTokenHead):
+    """reference hand_net.py:87-146: truncated Inception3 ->
+    [bs,768,12,12] viewed as [bs,192,24,24] -> conv(192->128,k3,s2,p3)
+    -> token head."""
+
+    def __init__(self, mean_params, iteration=3, heads=8, depth=3,
+                 pos_embed=True):
+        super().__init__(
+            mean_params,
+            nn.Conv2d(192, 128, 3, 2, 3, bias=False),
+            iteration=iteration, heads=heads, depth=depth,
+            pos_embed=pos_embed)
+        self.main_encoder = TorchInception3Trunc()
+
+    def forward(self, x):
+        f = self.main_encoder(x)                       # [bs,768,12,12]
+        # reference uses .view (hand_net.py:123); see HRNet note above
+        return self.run(f.reshape(f.size(0), 192, 24, 24))
+
+
+class TorchViT(nn.Module):
+    """reference vision_transformer.py:103-153: einops patchify ->
+    linear patch embed -> cls + learned pos-embed -> pyramid transformer
+    -> mean-pool -> HMR iterative head.  The reference declares the head
+    as ``Linear(dim+num_classes, num_classes)`` but the pyramid's
+    mean-pooled output is 3-dim (same shape bug family as the
+    HRNet/Inception heads); this oracle uses the actually-produced
+    input width (3+num_classes)."""
+
+    def __init__(self, mean_params, image_size=224, patch_size=16,
+                 num_classes=66, dim=256, depth=3, heads=8, dim_head=64,
+                 iteration=1):
+        super().__init__()
+        self.patch_size = patch_size
+        n = (image_size // patch_size) ** 2
+        patch_dim = 3 * patch_size ** 2
+        self.pos_embedding = nn.Parameter(torch.randn(1, n + 1, dim))
+        self.patch_to_embedding = nn.Linear(patch_dim, dim)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim))
+        self.transformer = Transformer(dim, depth, heads, dim_head,
+                                       mlp_dim=dim * 2)
+        self.head = nn.Sequential(nn.Linear(3 + num_classes,
+                                            num_classes))
+        self.iteration = iteration
+        self.mean_params = mean_params.clone()   # [1, num_classes]
+
+    def forward(self, img):
+        p = self.patch_size
+        b, c, H, W = img.shape
+        x = img.reshape(b, c, H // p, p, W // p, p)
+        # 'b c (h p1) (w p2) -> b (h w) (p1 p2 c)'
+        x = x.permute(0, 2, 4, 3, 5, 1).reshape(
+            b, (H // p) * (W // p), p * p * c)
+        x = self.patch_to_embedding(x)
+        n = x.size(1)
+        x = torch.cat(
+            [self.cls_token.expand(b, -1, -1), x], dim=1)
+        x = x + self.pos_embedding[:, : n + 1]
+        x = self.transformer(x, None)
+        feat = x.mean(dim=1)
+        pred = self.mean_params.repeat(b, 1).clone()
+        for _ in range(self.iteration):
+            pred = pred + self.head(torch.cat([feat, pred], dim=1))
+        return pred
+
+
+class TorchPerformerBlock(nn.Module):
+    """reference vision_performer.py:12-68 verbatim semantics: one
+    shared kqv Linear(emb_s -> 3*emb_s) and one frozen Gaussian ``w``
+    applied per head chunk."""
+
+    def __init__(self, emb_s, head, kernel_ratio=0.5, dp_ratio=0.0):
+        super().__init__()
+        emb = emb_s * head
+        self.kqv = nn.Linear(emb_s, 3 * emb_s)
+        self.dp = nn.Dropout(dp_ratio)
+        self.proj = nn.Linear(emb, emb)
+        self.emb_s = emb_s
+        self.ln1 = nn.LayerNorm(emb)
+        self.ln2 = nn.LayerNorm(emb)
+        self.mlp = nn.Sequential(nn.Linear(emb, 4 * emb), nn.GELU(),
+                                 nn.Linear(4 * emb, emb),
+                                 nn.Dropout(dp_ratio))
+        self.m = int(emb_s * kernel_ratio)
+        self.w = nn.Parameter(torch.randn(self.m, emb_s),
+                              requires_grad=False)
+
+    def prm_exp(self, x):
+        xd = (x * x).sum(dim=-1, keepdim=True).repeat(1, 1, self.m) / 2
+        wtx = torch.einsum("bti,mi->btm", x, self.w)
+        return torch.exp(wtx - xd) / math.sqrt(self.m)
+
+    def forward_single_attn(self, x):
+        k, q, v = torch.split(self.kqv(x), self.emb_s, dim=-1)
+        kp, qp = self.prm_exp(k), self.prm_exp(q)
+        D = torch.einsum("bti,bi->bt", qp,
+                         kp.sum(dim=1)).unsqueeze(dim=2)
+        kptv = torch.einsum("bin,bim->bnm", v, kp)
+        return torch.einsum("bti,bni->btn", qp,
+                            kptv) / D.repeat(1, 1, self.emb_s)
+
+    def forward(self, x):
+        y = self.ln1(x)
+        splits = torch.split(y, self.emb_s, dim=-1)
+        mha = torch.cat([self.forward_single_attn(t) for t in splits],
+                        dim=-1)
+        x = x + self.dp(self.proj(mha))
+        return x + self.mlp(self.ln2(x))
+
+
+class TorchViP(nn.Module):
+    """reference vision_performer.py:70-116 (Unfold patchify, zero-init
+    pos-embed added BEFORE the cls concat, performer blocks, mean-pool,
+    HMR iterative head Linear(emb+out_dim -> out_dim))."""
+
+    def __init__(self, mean_params, image_pix=64, patch_pix=4,
+                 out_dim=66, emb_s=32, heads=4, depth=3,
+                 kernel_ratio=0.5, iteration=1):
+        super().__init__()
+        tokens_cnt = (image_pix // patch_pix) ** 2
+        patch_size = 3 * patch_pix * patch_pix
+        emb = emb_s * heads
+        self.uf = nn.Unfold(kernel_size=[patch_pix, patch_pix],
+                            stride=[patch_pix, patch_pix])
+        self.pos_emb = nn.Parameter(torch.zeros(1, tokens_cnt, emb))
+        self.head = nn.Linear(emb + out_dim, out_dim)
+        self.patch_emb = nn.Linear(patch_size, emb)
+        self.cls_token = nn.Parameter(torch.rand(1, 1, emb))
+        self.mains = nn.Sequential(
+            *[TorchPerformerBlock(emb_s, heads, kernel_ratio, 0.0)
+              for _ in range(depth)])
+        self.iteration = iteration
+        self.mean_params = mean_params.clone()   # [1, out_dim]
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_emb(self.uf(x).transpose(1, 2)) + self.pos_emb
+        x = torch.cat([self.cls_token.repeat(b, 1, 1), x], dim=1)
+        x = self.mains(x)
+        feat = x.mean(dim=1)
+        pred = self.mean_params.repeat(b, 1).clone()
+        for _ in range(self.iteration):
+            pred = pred + self.head(torch.cat([feat, pred], dim=1))
+        return pred
+
+
 class TorchH3DWEncoder(nn.Module):
     """reference hand_net.py:28-58 (frankmocap baseline)."""
 
