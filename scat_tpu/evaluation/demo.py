@@ -264,8 +264,12 @@ def main(argv=None):
     from scat_tpu.config import BaseOptions
     opt = BaseOptions().parse(argv)
     runner = DemoRunner(opt)
-    if opt.eval_dataset.lower() in ("stb", "mhp"):
+    name = opt.eval_dataset.lower()
+    if name == "stb":
         runner.loader = stb_vibe_demo("B1Counting", opt)
+    elif name == "mhp":   # reference eval.py:601-605
+        from scat_tpu.data.mhp import mhp_eval
+        runner.loader = mhp_eval("data_15_cam_1", opt)
     else:
         runner.loader = ho3d_vibe_demo("SM1", opt)
     runner.demo(eval_set=opt.eval_dataset)

@@ -186,6 +186,41 @@ def test_rhd_dataset_and_left_hand_mirror(tmp_path, rng):
     assert np.isfinite(np.asarray(batch["label"])).all()
 
 
+@pytest.mark.slow
+def test_mhp_demo_runner_end_to_end(tmp_path, rng):
+    """The full temporal demo flow (reference eval.py:587-786) over an
+    MHP fixture sequence: fixed-window crop, forward, feature-map tiles,
+    3-panel plots, PCK/AUC/MPJPE aggregation, video export."""
+    import jax
+    import jax.numpy as jnp
+    from scat_tpu.config import Options
+    from scat_tpu.evaluation.demo import DemoRunner
+
+    _write_mhp_tree(str(tmp_path / "mhp"), rng, n_frames=3, cams=(1,))
+    loader = mhp_eval("data_3_cam_1",
+                      data_dir=str(tmp_path / "mhp"))
+    opt = Options()
+    opt.net = "reg_transformer"
+    opt.vit_heads = 2
+    opt.compute_dtype = "float32"
+    opt.result_dir = str(tmp_path / "out")
+    os.makedirs(opt.result_dir, exist_ok=True)
+
+    from scat_tpu.models import build_model
+    model, _ = build_model(opt, 64)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1),
+         "dropout": jax.random.key(2)}, sample, train=False)
+    runner = DemoRunner(opt, variables=variables, loader=loader,
+                        image_size=64)
+    runner.demo(eval_set="MHP")
+    out = tmp_path / "out"
+    assert (out / "fm" / "001.png").exists()          # feature tiles
+    assert (out / "3d" / "gt_pred_001.png").exists()  # 3-panel plot
+    assert (out / "PCK.png").exists()
+
+
 def test_rhd_missing_tree_is_empty(tmp_path):
     from scat_tpu.config import Options
     opt = Options()
