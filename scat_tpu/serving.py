@@ -58,6 +58,12 @@ class HandPosePredictor:
 
         @jax.jit
         def _forward(params, batch_stats, images):
+            # uint8 requests normalize ON DEVICE: the host uploads 4x
+            # fewer bytes than float32 crops and skips a host-side
+            # float conversion pass (jit specializes per input dtype,
+            # so at most two programs per bucket exist)
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                images = images.astype(jnp.float32) / 127.5 - 1.0
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=False)
@@ -84,10 +90,11 @@ class HandPosePredictor:
         """Compile ahead of serving traffic."""
         sizes = [batch_size] if batch_size else self._buckets
         for b in sizes:
-            x = jnp.zeros((b, self.image_size, self.image_size, 3),
-                          jnp.float32)
-            jax.block_until_ready(
-                self._forward(self.params, self.batch_stats, x))
+            for dtype in (jnp.uint8, jnp.float32):
+                x = jnp.zeros((b, self.image_size, self.image_size, 3),
+                              dtype)
+                jax.block_until_ready(
+                    self._forward(self.params, self.batch_stats, x))
 
     def predict(self, images) -> Dict[str, np.ndarray]:
         """``images``: [N,H,W,3] uint8 [0,255] or float [-1,1] crops.
@@ -96,8 +103,8 @@ class HandPosePredictor:
         ``joints_2d [N,21,2]`` (crop pixels)."""
         x = np.asarray(images)
         n = x.shape[0]
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 127.5 - 1.0
+        # uint8 stays uint8: device-side normalization (see _forward)
+        # moves 4x fewer bytes over the host->device link
         # pad the request so every chunk is exactly a bucket size: full
         # max_batch chunks plus one bucketed remainder — program count
         # stays bounded by the bucket set even for oversized requests
@@ -109,17 +116,17 @@ class HandPosePredictor:
         if n < total:
             x = np.concatenate(
                 [x, np.zeros((total - n,) + x.shape[1:], x.dtype)])
-        cams, j3ds, j2ds = [], [], []
-        for start in range(0, x.shape[0], big):
-            chunk = x[start:start + big]
-            cam, j3d, j2d = self._forward(self.params, self.batch_stats,
-                                          jnp.asarray(chunk))
-            cams.append(np.asarray(cam))
-            j3ds.append(np.asarray(j3d))
-            j2ds.append(np.asarray(j2d))
-        return {"camera": np.concatenate(cams)[:n],
-                "joints_3d": np.concatenate(j3ds)[:n],
-                "joints_2d": np.concatenate(j2ds)[:n]}
+        # launch every chunk before fetching any result: jax dispatch is
+        # async, so chunk k+1's upload/compute overlaps chunk k's D2H
+        outs = [self._forward(self.params, self.batch_stats,
+                              jnp.asarray(x[s:s + big]))
+                for s in range(0, x.shape[0], big)]
+        return {"camera": np.concatenate(
+                    [np.asarray(c) for c, _, _ in outs])[:n],
+                "joints_3d": np.concatenate(
+                    [np.asarray(j) for _, j, _ in outs])[:n],
+                "joints_2d": np.concatenate(
+                    [np.asarray(j) for _, _, j in outs])[:n]}
 
     def predict_from_frames(self, frames: np.ndarray,
                             joints_2d_hint: np.ndarray
