@@ -40,8 +40,10 @@ def main():
     # cached results in ~0.2 ms)
     seed = int(os.environ.get("SCAT_BENCH_SEED", 0))
     mean = assets.load_mean_params()
+    norm = os.environ.get("SCAT_BENCH_NORM", "batch")
     model, _ = __graft_entry__._flagship(
-        224, use_pallas=jax.devices()[0].platform != "cpu")
+        224, use_pallas=jax.devices()[0].platform != "cpu",
+        norm_layer=norm)
     batch = synth_batch(jax.random.key(seed), bs, image_size=224,
                         mean_params=mean)
     variables = model.init(
@@ -73,7 +75,7 @@ def main():
     # the remote-execution layer can memoize repeat launches; the FIRST
     # post-warmup launch is the honest one (matches bench.py protocol)
     step_ms = times[0]
-    print(json.dumps({"compiler_options": opts,
+    print(json.dumps({"compiler_options": opts, "norm": norm,
                       "bs": bs, "step_ms": round(step_ms, 2),
                       "all_ms": [round(t, 2) for t in times],
                       "crops_per_s": round(bs / step_ms * 1000, 1)}))
