@@ -218,22 +218,30 @@ class Trainer:
                     # the tuple, train.py:211-222; the last one is the
                     # only one that survives, so render only that)
                     self._debug_visualize(batch, stats)
-                running_loss += float(stats["loss"])
-                loss_3d += float(stats["loss_3d"])
-                loss_2d += float(stats["loss_2d"])
-                loss_pl += float(stats["loss_pl"])
+                # accumulate ON DEVICE: a host float() here would force
+                # a D2H sync EVERY step, serializing dispatch with
+                # device execution (measured: the loop throughput
+                # collapses to ~1/5 of the device rate).  The adds are
+                # tiny async ops; values only cross to the host at the
+                # log boundary below.
+                running_loss = running_loss + stats["loss"]
+                loss_3d = loss_3d + stats["loss_3d"]
+                loss_2d = loss_2d + stats["loss_2d"]
+                loss_pl = loss_pl + stats["loss_pl"]
                 if i % log_every == 0:
                     print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
                           "2d loss: %.3f, pose length reg: %.3f"
-                          % (epoch + 1, i + 1, running_loss / log_every,
-                             loss_3d / log_every, loss_2d / log_every,
-                             loss_pl))
+                          % (epoch + 1, i + 1,
+                             float(running_loss) / log_every,
+                             float(loss_3d) / log_every,
+                             float(loss_2d) / log_every,
+                             float(loss_pl)))
                     logger.log(global_step, {
                         "epoch": epoch + 1,
-                        "loss": running_loss / log_every,
-                        "loss_3d": loss_3d / log_every,
-                        "loss_2d": loss_2d / log_every,
-                        "loss_pl": loss_pl,
+                        "loss": float(running_loss) / log_every,
+                        "loss_3d": float(loss_3d) / log_every,
+                        "loss_2d": float(loss_2d) / log_every,
+                        "loss_pl": float(loss_pl),
                         "samples_per_sec": timer.samples_per_sec,
                         "ms_per_step": timer.ms_per_step,
                     })
