@@ -42,13 +42,8 @@ def main():
     from scat_tpu.training import schedule, steps
     from scat_tpu.training.state import TrainState
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/scat_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from scat_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     # env overrides let CI/CPU smoke runs use tiny shapes
     batch_size = int(os.environ.get("SCAT_BENCH_BS", 96))
     image_size = int(os.environ.get("SCAT_BENCH_IMG", 224))

@@ -67,13 +67,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/scat_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from scat_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
 
     from scat_tpu import assets
     from scat_tpu.config import Options

@@ -111,14 +111,8 @@ def timed(f, args, K=30):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/scat_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                          -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from scat_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     shapes = [  # (M, K, N) — bottleneck 1x1s at bs 96
         (96 * 56 * 56, 256, 64),    # layer1 conv1
         (96 * 56 * 56, 64, 256),    # layer1 conv3

@@ -56,20 +56,18 @@ def concat_dataset(batch_size: int, opt: Options) -> ConcatDataset:
         # tree is on disk (ConcatDataset truncates to the shortest
         # member, so an empty MHP dir must not join), RHD likewise
         # (scat_tpu/data/rhd.py).
+        from scat_tpu.data.rhd import get_loader_RHD
         members = [
             get_loader_frei("training", batch_size, opt),
             get_loader_ho3d("training", batch_size, opt),
             get_loader_STB("training", batch_size, opt)]
-        mhp = get_loader_MHP("training", batch_size, opt)
-        if len(mhp):
-            members.append(mhp)
-        try:
-            from scat_tpu.data.rhd import get_loader_RHD
-            rhd = get_loader_RHD("training", batch_size, opt)
-            if len(rhd):
-                members.append(rhd)
-        except ImportError:
-            pass
+        # MHP/RHD join the mix only when their trees are on disk
+        # (ConcatDataset truncates to the SHORTEST member, so an empty
+        # one would silently zero the whole stage)
+        for extra in (get_loader_MHP("training", batch_size, opt),
+                      get_loader_RHD("training", batch_size, opt)):
+            if len(extra):
+                members.append(extra)
         return ConcatDataset(*members)
     elif opt.stage == 3:
         print("[STAGE][3] finish, finetune.")
@@ -89,4 +87,13 @@ def concat_dataset(batch_size: int, opt: Options) -> ConcatDataset:
         from scat_tpu.data.mhp import get_loader_MHP
         # the reference's load_MHP.py is missing upstream; the loader is
         # re-derived from the surviving call sites (scat_tpu/data/mhp.py)
-        return ConcatDataset(get_loader_MHP("training", batch_size, opt))
+        mhp = get_loader_MHP("training", batch_size, opt)
+        if not len(mhp):
+            # fail loudly: a zero-length sole member would make the
+            # trainer run zero steps per epoch and "finish" untrained
+            raise FileNotFoundError(
+                "[STAGE][6] no MHP data found (expected "
+                "annotated_frames/ + calibrations/ under the MHP root "
+                "next to --data_dir); see scat_tpu/data/mhp.py for the "
+                "expected tree")
+        return ConcatDataset(mhp)

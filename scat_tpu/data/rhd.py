@@ -53,9 +53,15 @@ class RHDDataset:
         self.seed = seed
         anno_path = os.path.join(data_dir, split,
                                  f"anno_{split}.pickle")
-        with open(anno_path, "rb") as f:
-            self.anno = pickle.load(f, encoding="latin1")
         self.color_dir = os.path.join(data_dir, split, "color")
+        # tolerate a missing tree: a zero-length dataset lets stage-2
+        # composition probe availability (multi.py guards on len())
+        # without half-initialized probe objects
+        if os.path.exists(anno_path):
+            with open(anno_path, "rb") as f:
+                self.anno = pickle.load(f, encoding="latin1")
+        else:
+            self.anno = {}
         # keep (index, hand) pairs with enough visible keypoints to
         # define the crop; hand 0 = left rows 0-20, 1 = right 21-41
         self.samples: List[tuple] = []
@@ -129,11 +135,5 @@ def get_loader_RHD(stage: str = "training", bs: int = 32,
     opt = opt or Options()
     root = _rhd_root(opt)
     split = "training" if stage == "training" else "evaluation"
-    if not os.path.isdir(os.path.join(root, split)):
-        # allow stage-2 composition to probe without the tree on disk
-        ds = RHDDataset.__new__(RHDDataset)
-        ds.samples, ds.batch_size = [], bs
-        ds.anno, ds.shuffle, ds.seed = {}, False, opt.seed
-        return ds
     return RHDDataset(root, split, bs, shuffle=(stage == "training"),
                       seed=opt.seed)

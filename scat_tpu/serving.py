@@ -116,17 +116,31 @@ class HandPosePredictor:
         if n < total:
             x = np.concatenate(
                 [x, np.zeros((total - n,) + x.shape[1:], x.dtype)])
-        # launch every chunk before fetching any result: jax dispatch is
-        # async, so chunk k+1's upload/compute overlaps chunk k's D2H
-        outs = [self._forward(self.params, self.batch_stats,
-                              jnp.asarray(x[s:s + big]))
-                for s in range(0, x.shape[0], big)]
-        return {"camera": np.concatenate(
-                    [np.asarray(c) for c, _, _ in outs])[:n],
-                "joints_3d": np.concatenate(
-                    [np.asarray(j) for _, j, _ in outs])[:n],
-                "joints_2d": np.concatenate(
-                    [np.asarray(j) for _, _, j in outs])[:n]}
+        # bounded-window async pipeline: keep a few chunks in flight so
+        # chunk k+1's upload/compute overlaps chunk k's D2H, but fetch
+        # as we go — an unbounded launch list would hold EVERY request
+        # chunk resident in HBM at once (a 50k-crop request is ~7.5 GB)
+        window = 4
+        starts = list(range(0, x.shape[0], big))
+        inflight: list = []
+        cams, j3ds, j2ds = [], [], []
+
+        def drain_one():
+            cam, j3d, j2d = inflight.pop(0)
+            cams.append(np.asarray(cam))
+            j3ds.append(np.asarray(j3d))
+            j2ds.append(np.asarray(j2d))
+
+        for s in starts:
+            if len(inflight) >= window:
+                drain_one()
+            inflight.append(self._forward(self.params, self.batch_stats,
+                                          jnp.asarray(x[s:s + big])))
+        while inflight:
+            drain_one()
+        return {"camera": np.concatenate(cams)[:n],
+                "joints_3d": np.concatenate(j3ds)[:n],
+                "joints_2d": np.concatenate(j2ds)[:n]}
 
     def predict_from_frames(self, frames: np.ndarray,
                             joints_2d_hint: np.ndarray

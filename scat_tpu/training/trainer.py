@@ -27,17 +27,8 @@ from scat_tpu.training.state import TrainState
 from scat_tpu.utils import checkpoint as ckpt_lib
 
 
-def _enable_compilation_cache(path: str = "~/.cache/scat_tpu_xla"):
-    """Persistent XLA compilation cache — first compiles of the fused
-    train step take minutes on TPU; cached reruns are near-instant."""
-    try:
-        import os
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser(path))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+from scat_tpu.utils.profiling import \
+    enable_compilation_cache as _enable_compilation_cache  # noqa: E402
 
 
 def _load_pretrained_backbone(path: str, params, batch_stats):
@@ -55,6 +46,14 @@ def _load_pretrained_backbone(path: str, params, batch_stats):
     p_sub = params.get("main_encoder", params)
     b_sub = batch_stats.get("main_encoder", batch_stats)
     merged = torch_import.import_torch_resnet(sd, p_sub, b_sub)
+    if merged == 0:
+        # a wrong file (e.g. a full hand_net .pth with main_encoder.*
+        # keys) would otherwise silently train from scratch, defeating
+        # the flag's purpose (same guard as checkpoint._load_pth_into)
+        raise ValueError(
+            f"--pretrained_resnet_pth {path!r}: no tensor matched the "
+            "torchvision ResNet layout (expected keys like "
+            "'conv1.weight', 'layer1.0.conv1.weight')")
     print(f"pretrained backbone: merged {merged} tensors from {path}")
     return params, batch_stats
 

@@ -17,6 +17,22 @@ from typing import Callable, Dict, Optional
 import jax
 
 
+def enable_compilation_cache(path: str = "~/.cache/scat_tpu_xla"):
+    """Persistent XLA compilation cache — first compiles of the fused
+    train step take minutes on TPU; cached reruns are near-instant.
+    Single source for the trainer and every benchmark script."""
+    try:
+        import os
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1)
+    except Exception:
+        pass
+
+
 class StepTimer:
     """Rolling samples/sec + ms/step with correct device sync."""
 

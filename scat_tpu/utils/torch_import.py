@@ -494,10 +494,15 @@ def import_torch_auto(state_dict: Mapping[str, Any], params: Dict,
             "mains.{i}.w; load with import_torch_vip(sd, params, "
             "constants) so they land in the 'constants' collection")
     if "patch_to_embedding.weight" in state_dict:
-        depth = 1 + max(int(k.split(".")[2]) for k in ks
-                        if k.startswith("transformer.layers."))
-        return import_torch_vit(state_dict, params, batch_stats,
-                                depth=depth)
+        # guarded like the encoder branch below — a ViT save stripped
+        # of its transformer must produce the layout diagnostic, not a
+        # bare max()-of-empty ValueError
+        depth = 1 + max((int(k.split(".")[2]) for k in ks
+                         if k.startswith("transformer.layers.")),
+                        default=-1)
+        if depth > 0:
+            return import_torch_vit(state_dict, params, batch_stats,
+                                    depth=depth)
     if any(k.startswith("transformer.layers") for k in ks):
         coarse = "transformer.layers.0.0.to_qkv.weight" in state_dict
         # infer the pyramid depth from the checkpoint itself — a

@@ -221,6 +221,20 @@ def test_mhp_demo_runner_end_to_end(tmp_path, rng):
     assert (out / "PCK.png").exists()
 
 
+def test_mhp_stage6_empty_tree_fails_loudly(tmp_path, monkeypatch):
+    """An absent MHP tree must raise, not hand the trainer a
+    zero-length dataset that 'finishes' untrained."""
+    from scat_tpu.config import Options
+    from scat_tpu.data.multi import concat_dataset
+    opt = Options()
+    opt.stage = 6
+    opt.data_dir = str(tmp_path / "nothing")
+    monkeypatch.setattr("scat_tpu.data.mhp._mhp_root",
+                        lambda o: str(tmp_path / "nothing"))
+    with pytest.raises(FileNotFoundError):
+        concat_dataset(4, opt)
+
+
 def test_rhd_missing_tree_is_empty(tmp_path):
     from scat_tpu.config import Options
     opt = Options()
