@@ -271,7 +271,7 @@ def main(argv=None):
         from scat_tpu.data.mhp import mhp_eval
         runner.loader = mhp_eval("data_15_cam_1", opt)
     else:
-        runner.loader = ho3d_vibe_demo("SM1", opt)
+        runner.loader = ho3d_vibe_demo("GPMF11", opt)  # eval.py:613
     runner.demo(eval_set=opt.eval_dataset)
 
 

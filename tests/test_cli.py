@@ -16,7 +16,7 @@ BOOT = ("import jax; jax.config.update('jax_platforms','cpu'); "
         "import runpy, sys; ")
 
 
-def _run(module, argv, timeout=420):
+def _run(module, argv, timeout=900):
     cmd = [sys.executable, "-c",
            BOOT + f"sys.argv=['{module}']+{argv!r}; "
            f"runpy.run_module('{module}', run_name='__main__')"]
@@ -46,7 +46,7 @@ def test_bench_cli_cpu():
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu'); "
          "import bench; bench.main()"],
-        capture_output=True, text=True, timeout=420, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     line = r.stdout.strip().splitlines()[-1]
@@ -87,7 +87,7 @@ def test_test_cli_runs_on_rgb_folder(tmp_path):
             "'--checkpoint_path_eval', '']); "
             f"Tester(opt).test(r'{rgb}')")
     r = subprocess.run([sys.executable, "-c", code], env=ENV,
-                       capture_output=True, text=True, timeout=420)
+                       capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     dumps = list(out.glob("*_params.txt"))
     assert len(dumps) == 2, list(out.iterdir())
