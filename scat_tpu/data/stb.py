@@ -122,17 +122,20 @@ def load_stb_labels(ann_file: str) -> np.ndarray:
 
 
 def project_color(joints_3d: np.ndarray) -> np.ndarray:
-    uvw = joints_3d @ COLOR_K.T
-    return uvw[:, :2] / uvw[:, 2:]
+    """ops.geometry.project_points_pinhole with the STB color-camera K,
+    on host arrays (the loader's per-sample label path)."""
+    from scat_tpu.ops.geometry import project_points_pinhole
+    return project_points_pinhole(joints_3d, np.asarray(COLOR_K),
+                                  xp=np)
 
 
 def rescale_3d_joints_flip_np(joints_3d: np.ndarray,
                               ref_len: float = 0.03058954) -> np.ndarray:
-    """reference load_STB.py:98-110 in numpy."""
-    l = np.linalg.norm(joints_3d[4] - joints_3d[5])
-    out = joints_3d * (ref_len / l)
-    out[:, 0] *= -1
-    return out - out[1]
+    """reference load_STB.py:98-110 — the shared implementation in
+    ops.geometry, run with numpy on the host (no per-sample jnp
+    dispatch; one bone-length constant)."""
+    from scat_tpu.ops.geometry import rescale_3d_joints_flip
+    return rescale_3d_joints_flip(joints_3d, ref_len, xp=np)
 
 
 class STBDataset:

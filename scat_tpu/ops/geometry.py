@@ -80,8 +80,9 @@ def rodrigues_guarded(r: jax.Array, eps: float = 1e-6) -> jax.Array:
     # finite gradients) under jnp.where, hence the double-where pattern.
     safe_theta2 = jnp.where(small, 1.0, theta2)
     theta = jnp.sqrt(safe_theta2)
-    safe_theta = jnp.where(small, 1.0, theta)
-    n = r / safe_theta[..., None]
+    # theta is exactly 1.0 wherever `small` (sqrt of the guarded 1.0),
+    # so dividing by it directly is already gradient-safe
+    n = r / theta[..., None]
     Sn = _skew(n)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), Sn.shape)
     sin_t = jnp.sin(theta)[..., None, None]
@@ -116,12 +117,13 @@ def project_2d(joints_2d: jax.Array, half: float = 112.0) -> jax.Array:
     return joints_2d * half + half
 
 
-def project_points_pinhole(joints_3d: jax.Array, K: jax.Array) -> jax.Array:
+def project_points_pinhole(joints_3d, K, xp=jnp):
     """Pinhole projection ``[.,N,3] @ K.T`` then perspective divide.
 
     Matches the STB label projection (reference dataset/load_STB.py:257-258).
+    ``xp`` selects the array module (numpy for the host label path).
     """
-    uvw = joints_3d @ jnp.swapaxes(K, -1, -2)
+    uvw = joints_3d @ xp.swapaxes(K, -1, -2)
     return uvw[..., :2] / uvw[..., 2:]
 
 
@@ -163,14 +165,20 @@ def root_center(joints: jax.Array, root_index: int = 1) -> jax.Array:
     return joints - joints[..., root_index:root_index + 1, :]
 
 
-def rescale_3d_joints_flip(joints_3d: jax.Array,
-                           ref_bone_len: float = 0.03058954) -> jax.Array:
+def rescale_3d_joints_flip(joints_3d, ref_bone_len: float = 0.03058954,
+                           xp=jnp):
     """STB label normalization (reference dataset/load_STB.py:98-110):
     pin bone 4-5 length to ``ref_bone_len`` meters, mirror x, root-center
     on joint 1.
+
+    ``xp`` selects the array module: the data loader runs this per
+    sample on the host (``xp=numpy``, no dispatch overhead) while tests
+    and device code use the default jnp — ONE implementation, one
+    bone-length constant.
     """
     bone = joints_3d[..., 4, :] - joints_3d[..., 5, :]
-    l = jnp.linalg.norm(bone, axis=-1, keepdims=True)
+    l = xp.linalg.norm(bone, axis=-1, keepdims=True)
     scaled = joints_3d * (ref_bone_len / l)[..., None]
-    flipped = scaled.at[..., 0].multiply(-1.0)
+    flipped = scaled * xp.asarray([-1.0, 1.0, 1.0],
+                                  dtype=scaled.dtype)
     return flipped - flipped[..., 1:2, :]

@@ -29,8 +29,11 @@ def draw_gaussian_heatmaps(centers: jax.Array, height: int, width: int,
     start at zero, so max == write).
     """
     sigma = (2 * radius + 1) / 6.0
-    cx = jnp.floor(centers[..., 0]).astype(jnp.int32)
-    cy = jnp.floor(centers[..., 1]).astype(jnp.int32)
+    # int() in the reference truncates TOWARD ZERO — floor would shift
+    # the window one pixel for coordinates in (-1, 0) (a joint just off
+    # the crop edge after rotation/flip)
+    cx = jnp.trunc(centers[..., 0]).astype(jnp.int32)
+    cy = jnp.trunc(centers[..., 1]).astype(jnp.int32)
     ys = jnp.arange(height)
     xs = jnp.arange(width)
     dy = ys[None, :] - cy[..., None]                    # [..., J, H]
@@ -53,7 +56,13 @@ def heatmap_to_coords(heatmaps: jax.Array, threshold_rel: float = 0.5
     w = jnp.where(heatmaps >= threshold_rel * peak, heatmaps, 0.0)
     ys = jnp.arange(H, dtype=jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)
-    denom = jnp.maximum(w.sum(axis=(-2, -1)), 1e-8)
+    # sign-preserving guard: all-negative maps (an untrained head) have
+    # a negative weight sum that divides normally; only a near-zero sum
+    # is degenerate and gets the reference's (-1, -1) sentinel
+    raw = w.sum(axis=(-2, -1))
+    degenerate = jnp.abs(raw) < 1e-8
+    denom = jnp.where(degenerate, 1.0, raw)
     y = (w.sum(axis=-1) * ys).sum(axis=-1) / denom
     x = (w.sum(axis=-2) * xs).sum(axis=-1) / denom
-    return jnp.stack([x, y], axis=-1)
+    return jnp.where(degenerate[..., None], -1.0,
+                     jnp.stack([x, y], axis=-1))

@@ -129,11 +129,13 @@ def _accel_vis_mask(vis: jax.Array) -> jax.Array:
 
 def accel_error_mean(joints_gt: jax.Array, joints_pred: jax.Array,
                      vis: Optional[jax.Array] = None) -> jax.Array:
-    errs = compute_error_accel(joints_gt, joints_pred, vis)
+    # build the mask ONCE here (passing vis down would multiply by the
+    # same mask a second time inside compute_error_accel)
+    errs = compute_error_accel(joints_gt, joints_pred)
     if vis is None:
         return errs.mean()
     mask = _accel_vis_mask(vis)
-    return errs.sum() / jnp.maximum(mask.sum(), 1.0)
+    return (errs * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 def valid_sample_mask(images: jax.Array, threshold: float = 2000.0

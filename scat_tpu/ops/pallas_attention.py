@@ -28,17 +28,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False  # force-interpret override (tests may flip this)
+from scat_tpu.ops.pallas_common import interpret_mode, round_up
+
+_INTERPRET = False  # deprecated per-module override; tests may flip it
 
 
 def _interpret_mode() -> bool:
-    # Mosaic only lowers on TPU; interpret everywhere else so the same
-    # model code runs on the CPU test platform.
-    return _INTERPRET or jax.default_backend() != "tpu"
+    return _INTERPRET or interpret_mode()
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+_round_up = round_up
 
 
 def _bdot(a, b, contract, batch=((0,), (0,))):

@@ -24,15 +24,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False
+from scat_tpu.ops.pallas_common import interpret_mode, round_up
+
+_INTERPRET = False  # deprecated per-module override; tests may flip it
 
 
 def _interpret_mode() -> bool:
-    return _INTERPRET or jax.default_backend() != "tpu"
+    return _INTERPRET or interpret_mode()
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+_round_up = round_up
 
 
 def _favor_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, m_feat: int,
@@ -103,20 +104,12 @@ def _favor_core(q, k, v, w):
 
 
 def _ref_favor(q, k, v, w):
-    """XLA reference (for the backward recompute)."""
-    m = w.shape[0]
-    def prm(x):
-        wtx = jnp.einsum("bti,mi->btm", x, w,
-                         precision=jax.lax.Precision.HIGHEST)
-        xd = 0.5 * jnp.sum(x * x, axis=-1, keepdims=True)
-        return jnp.exp(wtx - xd) / math.sqrt(m)
-    qp, kp = prm(q), prm(k)
-    D = jnp.einsum("btm,bm->bt", qp, kp.sum(axis=1),
-                   precision=jax.lax.Precision.HIGHEST)[..., None]
-    kptv = jnp.einsum("btn,btm->bnm", v, kp,
-                      precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("btm,bnm->btn", qp, kptv,
-                      precision=jax.lax.Precision.HIGHEST) / D
+    """XLA reference for the backward recompute — the ONE FAVOR+ math
+    implementation (models/performer.py handles leading batch dims via
+    '...'); a numerics change there automatically applies to this
+    kernel's gradient."""
+    from scat_tpu.models.performer import favor_attention
+    return favor_attention(q, k, v, w)
 
 
 def _favor_fwd(q, k, v, w):

@@ -138,6 +138,32 @@ def test_heatmap_matches_reference_splat(rng):
         np.testing.assert_allclose(got[j], want, atol=1e-5)
 
 
+def test_heatmap_splat_negative_fraction_center():
+    """Centers in (-1, 0) — a joint just off the crop edge after
+    rotation/flip — must anchor like the reference's int() truncation
+    (toward zero), not floor: int(-0.3) == 0."""
+    centers = np.array([[-0.3, 10.0], [10.0, -0.7]], np.float32)
+    got = np.asarray(draw_gaussian_heatmaps(
+        jnp.asarray(centers), 56, 56, radius=8))
+    for j in range(2):
+        want = _np_draw_umich(np.zeros((56, 56)), centers[j], 8)
+        np.testing.assert_allclose(got[j], want, atol=1e-5)
+
+
+def test_heatmap_decode_all_negative_map():
+    """An untrained head's all-negative heatmap decodes to finite
+    coordinates (negative weight sums divide normally; only a ~zero sum
+    degenerates to the (-1,-1) sentinel)."""
+    from scat_tpu.ops.heatmap import heatmap_to_coords
+    hm = -1.0 - np.asarray(
+        _np_draw_umich(np.zeros((56, 56)), (20, 30), 8))
+    out = np.asarray(heatmap_to_coords(jnp.asarray(hm[None])))
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() < 56  # sane crop-range coordinates
+    zero = np.asarray(heatmap_to_coords(jnp.zeros((1, 56, 56))))
+    np.testing.assert_allclose(zero, -1.0)
+
+
 def test_heatmap_roundtrip_decode(rng):
     centers = (rng.rand(21, 2) * 40 + 8).astype(np.float32)
     maps = draw_gaussian_heatmaps(jnp.asarray(centers), 56, 56, radius=8)
