@@ -140,37 +140,47 @@ class FreiHANDDataset:
             shape = np.zeros(10, np.float32)
         return pack_label_166(pose, shape, joints_3d, joints_2d)
 
-    def _load_image(self, index: int) -> np.ndarray:
+    def _load_image_scaled(self, index: int):
+        """(image 224x224, sx, sy) — the resize factors must also apply
+        to the 2D pixel labels or image and targets silently disagree."""
         from PIL import Image
         path = os.path.join(self.rgb_dir, f"{index:08d}.jpg")
         if not os.path.exists(path):
             path = os.path.join(self.rgb_dir, f"{index:08d}.png")
         img = Image.open(path).convert("RGB")
+        sx = sy = 1.0
         if img.size != (224, 224):
             # torchvision Resize default interpolation is BILINEAR
             # (reference load_test_dataset.py transform); PIL's own
             # default is BICUBIC, so pin the filter explicitly
+            sx, sy = 224.0 / img.size[0], 224.0 / img.size[1]
             img = img.resize((224, 224), Image.BILINEAR)
-        return np.asarray(img)
+        return np.asarray(img), sx, sy
+
+    def _load_image(self, index: int) -> np.ndarray:
+        return self._load_image_scaled(index)[0]
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
-        epoch = getattr(self, "_epoch", 0)
-        self._epoch = epoch + 1
-        order = np.arange(self.n_images)
-        if self.shuffle:
-            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
+        from scat_tpu.data.common import epoch_order
+        order, epoch = epoch_order(self, self.n_images)
         B = self.batch_size
-        import jax as _jax
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
-            imgs = np.stack([self._load_image(i) for i in idxs])
+            loaded = [self._load_image_scaled(i) for i in idxs]
+            imgs = np.stack([im for im, _, _ in loaded])
             labels = np.stack([self.sample_labels(i) for i in idxs])
+            for n, (_, sx, sy) in enumerate(loaded):
+                if sx != 1.0 or sy != 1.0:
+                    # 2D targets live at [124:166] in original pixels;
+                    # rescale them with the image
+                    j2 = labels[n, 124:166].reshape(21, 2)
+                    labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
             images = normalize_to_unit(jnp.asarray(imgs))
             if self.color_jitter:
                 from scat_tpu.data.preprocess import color_jitter
                 images = color_jitter(
-                    _jax.random.fold_in(
-                        _jax.random.key(self.seed + 9973 * epoch), b),
+                    jax.random.fold_in(
+                        jax.random.key(self.seed + 9973 * epoch), b),
                     images)
             yield {"image": images,
                    "label": jnp.asarray(labels),

@@ -81,11 +81,8 @@ class HO3DDataset:
         return np.asarray(Image.open(path).convert("RGB"))
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
-        epoch = getattr(self, "_epoch", 0)
-        self._epoch = epoch + 1
-        order = np.arange(len(self.samples))
-        if self.shuffle:
-            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
+        from scat_tpu.data.common import epoch_order
+        order, _ = epoch_order(self, len(self.samples))
         B = self.batch_size
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
@@ -122,7 +119,18 @@ def get_loader_ho3d(stage: str = "training", bs: int = 32,
     split = "train"
     if stage != "training" and os.path.isdir(
             os.path.join(data_dir, "evaluation")):
-        split = "evaluation"
+        # the public evaluation split ships WITHOUT hand labels
+        # (handJoints3D is None/wrist-only); only use it when a probe
+        # meta actually carries the full annotation — otherwise stay on
+        # train like the reference does (eval.py:795, stage='training')
+        probe = HO3DDataset(data_dir, "evaluation", bs, shuffle=False,
+                            seed=opt.seed)
+        try:
+            if probe.samples:
+                probe.sample_labels(probe.samples[0][1])
+                split = "evaluation"
+        except Exception:
+            pass
     return HO3DDataset(data_dir, split, bs,
                        shuffle=(stage == "training"), seed=opt.seed)
 

@@ -199,11 +199,8 @@ class MHPDataset:
         return len(self.index) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
-        epoch = getattr(self, "_epoch", 0)
-        self._epoch = epoch + 1
-        order = np.arange(len(self.index))
-        if self.shuffle:
-            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
+        from scat_tpu.data.common import epoch_order
+        order, _ = epoch_order(self, len(self.index))
         B = self.batch_size
         for b in range(len(self)):
             imgs, j3ds, j2ds = [], [], []

@@ -19,9 +19,20 @@ from scat_tpu.config import Options
 
 class ConcatDataset:
     """Zip N batch-iterables; yields tuples of batches, truncated to the
-    shortest (reference MultiDataset.py:4-12 min-length semantics)."""
+    shortest (reference MultiDataset.py:4-12 min-length semantics).
+
+    An EMPTY member is refused: min-length semantics would make the
+    whole mix zero-length and the trainer would 'finish' untrained
+    after zero steps per epoch with no error.
+    """
 
     def __init__(self, *datasets):
+        for d in datasets:
+            if not len(d):
+                raise ValueError(
+                    f"ConcatDataset member {type(d).__name__} is empty "
+                    "(no samples found on disk?) — the min-length zip "
+                    "would silently produce zero training batches")
         self.datasets = datasets
 
     def __len__(self) -> int:

@@ -32,27 +32,47 @@ class PrefetchIterator:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self._depth)
         err: list = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self._iterable:
                     if self._device_put is not None:
                         batch = self._device_put(batch)
-                    q.put(batch)
+                    # timeout-poll the stop flag: a consumer that
+                    # abandons iteration (break / exception) would
+                    # otherwise leave this thread blocked in q.put
+                    # forever, pinning the loader iterator and up to
+                    # `depth` staged device batches
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface in the consumer thread
                 err.append(e)
             finally:
-                q.put(_SENTINEL)
+                try:
+                    q.put_nowait(_SENTINEL)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # runs on generator close/GC too (early consumer exit)
+            stop.set()
 
 
 def prefetch_to_device(iterable: Iterable, mesh=None, depth: int = 2

@@ -23,25 +23,26 @@ import jax.numpy as jnp
 from scat_tpu.ops.geometry import rotation_matrix_2d
 
 
-def affine_compose(A: jax.Array, B: jax.Array) -> jax.Array:
-    """Compose 2x3 affines: result(x) = A(B(x)); batched [...,2,3]."""
+def affine_compose(A, B, xp=jnp):
+    """Compose 2x3 affines: result(x) = A(B(x)); batched [...,2,3].
+    ``xp`` selects the array module (numpy for host loader paths)."""
     RA, tA = A[..., :2], A[..., 2]
     RB, tB = B[..., :2], B[..., 2]
     R = RA @ RB
-    t = jnp.einsum("...ij,...j->...i", RA, tB) + tA
-    return jnp.concatenate([R, t[..., None]], axis=-1)
+    t = xp.einsum("...ij,...j->...i", RA, tB) + tA
+    return xp.concatenate([R, t[..., None]], axis=-1)
 
 
-def affine_invert(M: jax.Array) -> jax.Array:
+def affine_invert(M, xp=jnp):
     """Invert 2x3 affines; batched."""
     R, t = M[..., :2], M[..., 2]
     det = R[..., 0, 0] * R[..., 1, 1] - R[..., 0, 1] * R[..., 1, 0]
-    inv = jnp.stack([
-        jnp.stack([R[..., 1, 1], -R[..., 0, 1]], -1),
-        jnp.stack([-R[..., 1, 0], R[..., 0, 0]], -1),
+    inv = xp.stack([
+        xp.stack([R[..., 1, 1], -R[..., 0, 1]], -1),
+        xp.stack([-R[..., 1, 0], R[..., 0, 0]], -1),
     ], -2) / det[..., None, None]
-    ti = -jnp.einsum("...ij,...j->...i", inv, t)
-    return jnp.concatenate([inv, ti[..., None]], axis=-1)
+    ti = -xp.einsum("...ij,...j->...i", inv, t)
+    return xp.concatenate([inv, ti[..., None]], axis=-1)
 
 
 def identity_affine(batch_shape=()) -> jax.Array:
@@ -49,23 +50,22 @@ def identity_affine(batch_shape=()) -> jax.Array:
     return jnp.broadcast_to(eye, batch_shape + (2, 3))
 
 
-def flip_affine(width: jax.Array) -> jax.Array:
+def flip_affine(width, xp=jnp):
     """Horizontal mirror: x' = width - x (reference hand_flip
     load_STB.py:69-74 maps joints as [w,0] + (-x, y))."""
-    w = jnp.asarray(width, jnp.float32)
-    z = jnp.zeros_like(w)
-    one = jnp.ones_like(w)
-    return jnp.stack([
-        jnp.stack([-one, z, w], -1),
-        jnp.stack([z, one, z], -1),
+    w = xp.asarray(width, xp.float32)
+    z = xp.zeros_like(w)
+    one = xp.ones_like(w)
+    return xp.stack([
+        xp.stack([-one, z, w], -1),
+        xp.stack([z, one, z], -1),
     ], -2)
 
 
-def crop_hand_affine(joints_2d: jax.Array, img_w, img_h,
+def crop_hand_affine(joints_2d, img_w, img_h,
                      out_size: int = 224, expand: float = 1.3,
                      min_size: float = 10.0, max_size: float = 500.0,
-                     center_joint: int = 4
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     center_joint: int = 4, xp=jnp):
     """Square crop about joint ``center_joint`` then resize to out_size.
 
     Exactly the reference crop_hand math (load_STB.py:76-96): half-size =
@@ -76,28 +76,28 @@ def crop_hand_affine(joints_2d: jax.Array, img_w, img_h,
     ``crop_hand_ref`` (eval.py:89-108) is this with expand=1.5,
     min_size=20.
     """
-    img_w = jnp.asarray(img_w, jnp.float32)
-    img_h = jnp.asarray(img_h, jnp.float32)
+    img_w = xp.asarray(img_w, xp.float32)
+    img_h = xp.asarray(img_h, xp.float32)
     center = joints_2d[..., center_joint, :]           # [B,2]
-    size_vec = jnp.stack([img_w, img_h], -1)
-    min_coord = jnp.maximum(joints_2d.min(axis=-2), 0.0)
-    max_coord = jnp.minimum(joints_2d.max(axis=-2), size_vec)
-    half = jnp.maximum(max_coord - center, center - min_coord)
+    size_vec = xp.stack([img_w, img_h], -1)
+    min_coord = xp.maximum(joints_2d.min(axis=-2), 0.0)
+    max_coord = xp.minimum(joints_2d.max(axis=-2), size_vec)
+    half = xp.maximum(max_coord - center, center - min_coord)
     half = expand * half
-    half = jnp.max(half, axis=-1)
-    half = jnp.clip(half, min_size, max_size)          # [B]
+    half = xp.max(half, axis=-1)
+    half = xp.clip(half, min_size, max_size)          # [B]
     left = center[..., 0] - half
     top = center[..., 1] - half
     scale = out_size / (2.0 * half)
-    z = jnp.zeros_like(scale)
-    M = jnp.stack([
-        jnp.stack([scale, z, -left * scale], -1),
-        jnp.stack([z, scale, -top * scale], -1),
+    z = xp.zeros_like(scale)
+    M = xp.stack([
+        xp.stack([scale, z, -left * scale], -1),
+        xp.stack([z, scale, -top * scale], -1),
     ], -2)                                             # [B,2,3]
-    ones = jnp.ones_like(joints_2d[..., :1])
-    joints_out = jnp.einsum(
+    ones = xp.ones_like(joints_2d[..., :1])
+    joints_out = xp.einsum(
         "...ij,...nj->...ni", M,
-        jnp.concatenate([joints_2d, ones], axis=-1))
+        xp.concatenate([joints_2d, ones], axis=-1))
     return M, joints_out
 
 
@@ -223,26 +223,46 @@ def color_jitter(key: jax.Array, images: jax.Array,
 
     Matches torchvision semantics: factors drawn uniformly from
     [max(0, 1-x), 1+x] for brightness/contrast/saturation and
-    [-hue, hue] for hue (applied as a channel rotation approximation).
+    [-hue, hue] for hue; the FOUR ops apply in a per-call random order
+    with clamping to [0,1] after each (torchvision blends then clamps
+    per op); contrast/saturation blend against the ITU-R 601 luma
+    grayscale like torchvision's rgb_to_grayscale.  Hue uses a YIQ
+    chroma rotation — the one documented approximation (torchvision
+    round-trips through HSV).
+
+    Eager-mode utility for the host loader loop (the op order is drawn
+    on the host; under jit the order would freeze at trace time).
     """
-    kb, kc, ks, kh = jax.random.split(key, 4)
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
     B = images.shape[0]
-    x = (images + 1.0) * 0.5  # [0,1]
 
     def factor(k, amt):
         return jax.random.uniform(k, (B, 1, 1, 1),
                                   minval=max(0.0, 1.0 - amt),
                                   maxval=1.0 + amt)
 
-    x = x * factor(kb, brightness)                       # brightness
-    mean = x.mean(axis=(1, 2, 3), keepdims=True)
-    x = (x - mean) * factor(kc, contrast) + mean         # contrast
-    grey = x.mean(axis=-1, keepdims=True)
-    x = (x - grey) * factor(ks, saturation) + grey       # saturation
-    if hue > 0:
+    def luma(x):
+        return (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])[..., None]
+
+    def do_brightness(x):
+        return jnp.clip(x * factor(kb, brightness), 0.0, 1.0)
+
+    def do_contrast(x):
+        mean = luma(x).mean(axis=(1, 2, 3), keepdims=True)
+        return jnp.clip((x - mean) * factor(kc, contrast) + mean,
+                        0.0, 1.0)
+
+    def do_saturation(x):
+        grey = luma(x)
+        return jnp.clip((x - grey) * factor(ks, saturation) + grey,
+                        0.0, 1.0)
+
+    def do_hue(x):
+        if hue <= 0:
+            return x
         theta = jax.random.uniform(kh, (B, 1, 1),
                                    minval=-hue, maxval=hue) * 2 * jnp.pi
-        # approximate hue rotation via YIQ chroma rotation
         y = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
         i = (0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2])
         q = (0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2])
@@ -251,5 +271,12 @@ def color_jitter(key: jax.Array, images: jax.Array,
         r = y + 0.956 * ir + 0.621 * qr
         g = y - 0.272 * ir - 0.647 * qr
         b = y - 1.106 * ir + 1.703 * qr
-        x = jnp.stack([r, g, b], axis=-1)
-    return jnp.clip(x, 0.0, 1.0) * 2.0 - 1.0
+        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+    import numpy as _np
+    ops = [do_brightness, do_contrast, do_saturation, do_hue]
+    order = _np.asarray(jax.random.permutation(kp, 4))
+    x = (images + 1.0) * 0.5  # [0,1]
+    for idx in order:
+        x = ops[int(idx)](x)
+    return x * 2.0 - 1.0

@@ -156,6 +156,13 @@ class STBDataset:
             from scat_tpu.data import native_loader
             use_native = (native_loader.available()
                           and not rotation and not motion_blur)
+        elif use_native and (rotation or motion_blur):
+            # explicit opt-in must not silently drop augmentations
+            raise ValueError(
+                "use_native=True is incompatible with rotation/"
+                "motion_blur (the native path warps crops without the "
+                "full-frame augmentations); leave use_native=None for "
+                "automatic fallback")
         self.use_native = use_native
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -207,13 +214,17 @@ class STBDataset:
         j2d = np.zeros((B, 21, 2), np.float32)
         for n, i in enumerate(idxs):
             j3d[n], j2d[n] = self.sample_labels(i)
-        Mf = preprocess.flip_affine(jnp.full((B,), float(W)))
-        ones = jnp.ones((B, 21, 1), jnp.float32)
-        j2f = jnp.einsum("bij,bnj->bni", Mf,
-                         jnp.concatenate([jnp.asarray(j2d), ones], -1))
-        Mc, j2d_out = preprocess.crop_hand_affine(j2f, W, H, 224)
-        M = preprocess.affine_compose(Mc, Mf)
-        Minv = np.asarray(preprocess.affine_invert(M))
+        # pure-numpy affine math: this runs in the prefetch thread, and
+        # jnp here would dispatch tiny device ops + a D2H sync per batch
+        # that contend with the training step (xp=np, same formulas)
+        Mf = preprocess.flip_affine(np.full((B,), float(W)), xp=np)
+        ones = np.ones((B, 21, 1), np.float32)
+        j2f = np.einsum("bij,bnj->bni", Mf,
+                        np.concatenate([j2d, ones], -1))
+        Mc, j2d_out = preprocess.crop_hand_affine(j2f, W, H, 224, xp=np)
+        M = preprocess.affine_compose(Mc, Mf, xp=np)
+        Minv = np.ascontiguousarray(
+            preprocess.affine_invert(M, xp=np).astype(np.float32))
         paths = [self.image_paths[i] for i in idxs]
         imgs, valid = native_loader.load_batch(paths, H, W, Minv)
         label = jnp.concatenate(
@@ -230,12 +241,9 @@ class STBDataset:
         # per-epoch reshuffle (torch DataLoader(shuffle=True) semantics):
         # each pass over the dataset uses a fresh permutation and fresh
         # augmentation draws.
-        epoch = getattr(self, "_epoch", 0)
-        self._epoch = epoch + 1
-        order = np.arange(len(self.image_paths))
-        if self.shuffle:
-            np.random.RandomState(self.seed + 9973 * epoch).shuffle(order)
-        rng = np.random.RandomState(self.seed + 1 + 9973 * epoch)
+        from scat_tpu.data.common import EPOCH_STRIDE, epoch_order
+        order, epoch = epoch_order(self, len(self.image_paths))
+        rng = np.random.RandomState(self.seed + 1 + EPOCH_STRIDE * epoch)
         B = self.batch_size
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]

@@ -36,7 +36,9 @@ class TestDataset:
         seq = self.test_list[index]
         img = Image.open(os.path.join(self.base_path, seq)).convert("RGB")
         w, h = img.size
-        arr = np.asarray(img.resize((224, 224)))
+        # torchvision Resize defaults to BILINEAR; PIL's own default is
+        # BICUBIC, so pin the filter (same note in freihand._load_image)
+        arr = np.asarray(img.resize((224, 224), Image.BILINEAR))
         return (normalize_to_unit(jnp.asarray(arr)), w, h, seq)
 
     def __iter__(self):

@@ -153,9 +153,12 @@ def rotate_joints_3d(joints_3d: jax.Array, M: jax.Array) -> jax.Array:
     The reference embeds the 2x2 block of the image affine into a 4x4 with
     the transposed sign pattern (M_3d[1][0] = -M[0][1]); z passes through.
     """
-    c, s = M[..., 0, 0], M[..., 0, 1]
+    # [..., None] broadcasts a batched [B,2,3] affine over the joint
+    # axis ([B] -> [B,1] against [B,N]); unbatched M stays compatible
+    c = M[..., 0, 0][..., None]
+    s = M[..., 0, 1][..., None]
     x, y, z = joints_3d[..., 0], joints_3d[..., 1], joints_3d[..., 2]
-    xr = c * x[...] + s * y
+    xr = c * x + s * y
     yr = -s * x + c * y
     return jnp.stack([xr, yr, z], axis=-1)
 

@@ -54,10 +54,13 @@ def test_freihand_dataset_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.linalg.norm(j3d[:, 4] - j3d[:, 5], axis=1), 0.03058954,
         rtol=1e-4)
-    # 2D block: pinhole projection of the raw (unrescaled) xyz with K
+    # 2D block: pinhole projection of the raw (unrescaled) xyz with K,
+    # rescaled with the image when the loader resizes to 224 (labels
+    # must track the pixels they annotate)
+    scale = 224.0 / 128  # fixture img_size
     for b in range(4):
         proj = xyz[b].dot(K[b].T)
-        want = proj[:, :2] / proj[:, 2:]
+        want = proj[:, :2] / proj[:, 2:] * scale
         np.testing.assert_allclose(lab[b, 124:].reshape(21, 2), want,
                                    rtol=1e-4)
     # pose block: global orient is the MANO rotvec composed with a

@@ -108,3 +108,18 @@ def test_concat_dataset_zips():
     cd = ConcatDataset(a, b)
     assert len(cd) == 2
     assert list(cd) == [(1, "x"), (2, "y")]
+
+
+def test_stb_dataset_rotation_batched(tmp_path):
+    """rotation=True with batch_size > 1 exercises the batched [B,2,3]
+    affine against [B,21,3] joints (regression: rotate_joints_3d
+    broadcast crash)."""
+    data_dir = str(_write_synthetic_stb(tmp_path))
+    opt = Options(data_dir=data_dir, batch_size=4)
+    ds = stb.STBDataset("STB_train", data_dir=data_dir, batch_size=4,
+                        rotation=True, shuffle=False, opt=opt,
+                        use_native=False)
+    batch = next(iter(ds))
+    assert batch["image"].shape == (4, 224, 224, 3)
+    assert batch["label"].shape == (4, 105)
+    assert np.isfinite(np.asarray(batch["label"])).all()
