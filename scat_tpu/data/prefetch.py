@@ -55,10 +55,16 @@ class PrefetchIterator:
             except BaseException as e:  # surface in the consumer thread
                 err.append(e)
             finally:
-                try:
-                    q.put_nowait(_SENTINEL)
-                except queue.Full:
-                    pass
+                # the sentinel MUST eventually land (a put_nowait would
+                # drop it when the queue holds `depth` staged batches
+                # and the consumer would block in q.get forever); poll
+                # with the same stop-aware timeout as the batch puts
+                while not stop.is_set():
+                    try:
+                        q.put(_SENTINEL, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
