@@ -41,7 +41,11 @@ def test_train_cli_synthetic(tmp_path):
 
 @pytest.mark.slow
 def test_bench_cli_cpu():
-    env = dict(ENV, SCAT_BENCH_BS="4", SCAT_BENCH_IMG="64")
+    # single virtual device: the 8-device rendezvous on this 1-core
+    # host stalls under concurrent suite load; the JSON contract and
+    # the train/infer measurement path are device-count independent
+    env = dict(ENV, SCAT_BENCH_BS="4", SCAT_BENCH_IMG="64",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu'); "
