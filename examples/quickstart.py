@@ -71,7 +71,7 @@ def main():
     ev = Evaluator(opt, image_size=img, dataset=held_out,
                    variables={"params": state.params,
                               "batch_stats": state.batch_stats})
-    res = ev.eval("STB")
+    res = ev.eval()
 
     # 3. export for the torch reference
     sd = export_torch_encoder_transformer(
@@ -92,7 +92,7 @@ def main():
              "False", "--result_dir", opt.result_dir,
              "--checkpoint_path_eval", pth])
         ev2 = Evaluator(opt2, image_size=img, dataset=held_out)
-        res2 = ev2.eval("STB")
+        res2 = ev2.eval()
         assert abs(res2["mpjpe_mm"] - res["mpjpe_mm"]) < 1e-3
         print("reloaded .pth reproduces the evaluation exactly")
     except ImportError:

@@ -30,7 +30,6 @@ import numpy as np
 from scipy.spatial.transform import Rotation as ScipyRotation
 
 from scat_tpu.config import Options
-from scat_tpu.data.preprocess import normalize_to_unit
 
 COORD_CHANGE_MAT = np.array([[1., 0., 0.], [0., -1., 0.], [0., 0., -1.]],
                             dtype=np.float32)
@@ -161,9 +160,16 @@ class FreiHANDDataset:
         return self._load_image_scaled(index)[0]
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
-        from scat_tpu.data.common import epoch_order
+        from scat_tpu.data.common import EPOCH_STRIDE, epoch_order
+        from scat_tpu.data.preprocess import color_jitter_np
         order, epoch = epoch_order(self, self.n_images)
         B = self.batch_size
+        # ALL pixel work stays numpy: this loop runs in the prefetch
+        # thread, and eager jnp dispatch here (tiny ops + implicit
+        # syncs) would contend with the training step on device (same
+        # xp=np rule as stb.py's affine math)
+        jitter_rng = np.random.RandomState(
+            (self.seed + EPOCH_STRIDE * epoch) % (2 ** 31))
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
             loaded = [self._load_image_scaled(i) for i in idxs]
@@ -175,14 +181,10 @@ class FreiHANDDataset:
                     # rescale them with the image
                     j2 = labels[n, 124:166].reshape(21, 2)
                     labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
-            images = normalize_to_unit(jnp.asarray(imgs))
+            images = imgs.astype(np.float32) / 127.5 - 1.0
             if self.color_jitter:
-                from scat_tpu.data.preprocess import color_jitter
-                images = color_jitter(
-                    jax.random.fold_in(
-                        jax.random.key(self.seed + 9973 * epoch), b),
-                    images)
-            yield {"image": images,
+                images = color_jitter_np(jitter_rng, images)
+            yield {"image": jnp.asarray(images),
                    "label": jnp.asarray(labels),
                    "valid": jnp.ones((B,), jnp.float32)}
 

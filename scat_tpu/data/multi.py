@@ -74,9 +74,18 @@ def concat_dataset(batch_size: int, opt: Options) -> ConcatDataset:
             get_loader_STB("training", batch_size, opt)]
         # MHP/RHD join the mix only when their trees are on disk
         # (ConcatDataset truncates to the SHORTEST member, so an empty
-        # one would silently zero the whole stage)
-        for extra in (get_loader_MHP("training", batch_size, opt),
-                      get_loader_RHD("training", batch_size, opt)):
+        # one would silently zero the whole stage).  A *partial* tree
+        # (e.g. calibrations/ present but rvec.pkl missing) raises in
+        # the loader ctor — treat that the same as absent, with a
+        # warning, so an optional member can't fail the whole stage.
+        for name, factory in (("MHP", get_loader_MHP),
+                              ("RHD", get_loader_RHD)):
+            try:
+                extra = factory("training", batch_size, opt)
+            except Exception as e:  # malformed optional tree
+                print(f"[STAGE][2] {name} tree present but unreadable, "
+                      f"skipping it: {e}")
+                continue
             if len(extra):
                 members.append(extra)
         return ConcatDataset(*members)

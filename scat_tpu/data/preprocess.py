@@ -280,3 +280,55 @@ def color_jitter(key: jax.Array, images: jax.Array,
     for idx in order:
         x = ops[int(idx)](x)
     return x * 2.0 - 1.0
+
+
+def color_jitter_np(rng, images, brightness: float = 0.5,
+                    contrast: float = 0.5, saturation: float = 0.5,
+                    hue: float = 0.1):
+    """Host-side ColorJitter: same torchvision semantics as
+    ``color_jitter`` but pure numpy, for loader/prefetch threads where
+    eager jnp dispatch would contend with the training step (the same
+    xp=np rule as stb.py's affine math).  ``rng`` is a
+    ``np.random.RandomState``; ``images`` [B,H,W,3] float in [-1,1]."""
+    import numpy as np
+    B = images.shape[0]
+
+    def factor(amt):
+        return rng.uniform(max(0.0, 1.0 - amt), 1.0 + amt,
+                           size=(B, 1, 1, 1)).astype(np.float32)
+
+    def luma(x):
+        return (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])[..., None]
+
+    def do_brightness(x):
+        return np.clip(x * factor(brightness), 0.0, 1.0)
+
+    def do_contrast(x):
+        mean = luma(x).mean(axis=(1, 2, 3), keepdims=True)
+        return np.clip((x - mean) * factor(contrast) + mean, 0.0, 1.0)
+
+    def do_saturation(x):
+        grey = luma(x)
+        return np.clip((x - grey) * factor(saturation) + grey, 0.0, 1.0)
+
+    def do_hue(x):
+        if hue <= 0:
+            return x
+        theta = rng.uniform(-hue, hue, size=(B, 1, 1)).astype(
+            np.float32) * 2 * np.pi
+        y = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        i = (0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2])
+        q = (0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2])
+        ir = i * np.cos(theta) - q * np.sin(theta)
+        qr = i * np.sin(theta) + q * np.cos(theta)
+        r = y + 0.956 * ir + 0.621 * qr
+        g = y - 0.272 * ir - 0.647 * qr
+        b = y - 1.106 * ir + 1.703 * qr
+        return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+    ops = [do_brightness, do_contrast, do_saturation, do_hue]
+    x = (images + 1.0) * 0.5  # [0,1]
+    for idx in rng.permutation(4):
+        x = ops[int(idx)](x)
+    return (x * 2.0 - 1.0).astype(images.dtype, copy=False)

@@ -103,10 +103,18 @@ class DemoRunner:
 
         self._forward = forward
 
-    def demo(self, eval_set: str = "STB"):
+    def demo(self, eval_set: Optional[str] = None):
+        """Run the temporal demo over ``eval_set`` ('STB'/'MHP'/'ho3d');
+        an injected ``loader`` takes precedence (it IS the sequence, a
+        set name would be ignored — passing both is an error)."""
         opt = self.opt
         loader = self.loader
+        if loader is not None and eval_set is not None:
+            raise ValueError(
+                "DemoRunner was constructed with an injected loader; "
+                "demo(eval_set=...) would be ignored")
         if loader is None:
+            eval_set = eval_set or opt.eval_dataset
             seq = {"MHP": "data_15_cam_1", "STB": "B1Counting",
                    "ho3d": "GPMF11"}[eval_set]
             if eval_set == "STB":
@@ -272,7 +280,7 @@ def main(argv=None):
         runner.loader = mhp_eval("data_15_cam_1", opt)
     else:
         runner.loader = ho3d_vibe_demo("GPMF11", opt)  # eval.py:613
-    runner.demo(eval_set=opt.eval_dataset)
+    runner.demo()
 
 
 if __name__ == "__main__":

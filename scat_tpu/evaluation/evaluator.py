@@ -107,12 +107,23 @@ class Evaluator:
         from scat_tpu.viz.draw import save_attention_maps
         save_attention_maps(attn[idx], gt_lmk, self.result_dir, n)
 
-    def eval(self, eval_dataset: str = "STB"):
+    def eval(self, eval_dataset: Optional[str] = None):
+        """Evaluate on ``eval_dataset`` ('STB'/'frei'/'ho3d'); defaults
+        to ``opt.eval_dataset``.  An injected ``dataset`` iterable takes
+        precedence (it IS the data; a name would be ignored, so passing
+        both is an error)."""
         if self.dataset is not None:
+            if eval_dataset is not None:
+                raise ValueError(
+                    "Evaluator was constructed with an injected dataset;"
+                    " eval(eval_dataset=...) would be ignored")
             loader = self.dataset
         else:
+            import dataclasses as _dc
             from scat_tpu.training.trainer import make_dataset
-            loader = make_dataset(self.opt, 224, training=False)
+            opt = (self.opt if eval_dataset is None
+                   else _dc.replace(self.opt, eval_dataset=eval_dataset))
+            loader = make_dataset(opt, 224, training=False)
 
         from scat_tpu.utils.logging import MetricsLogger
         logger = MetricsLogger(self.result_dir, filename="eval_metrics.csv")

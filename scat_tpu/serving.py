@@ -5,12 +5,17 @@ the deployment-shaped version: one compiled program per (model, batch
 bucket), fixed shapes with padding, optional in-program preprocessing
 (crop from full frames given detections), and warmup.  Single-chip by
 default; the same predictor runs data-parallel over a mesh by
-constructing it with ``mesh=...``.
+constructing it with ``mesh=...`` (params replicated, each request
+chunk sharded over the ``data`` axis — buckets are multiples of the
+data-axis size so every shard stays a static shape).
 
 Example:
     predictor = HandPosePredictor.from_checkpoint(opt)
     out = predictor.predict(crops_uint8)        # [N,224,224,3]
     out["joints_3d"], out["joints_2d"], out["camera"]
+
+    mesh = mesh_lib.make_mesh()                 # all chips, data axis
+    predictor = HandPosePredictor.from_checkpoint(opt, mesh=mesh)
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ import numpy as np
 from scat_tpu.config import Options
 from scat_tpu.models import build_model
 from scat_tpu.ops.geometry import batch_orth_proj_idrot, project_2d
+from scat_tpu.parallel import mesh as mesh_lib
 from scat_tpu.utils import checkpoint as ckpt_lib
 
 
@@ -35,10 +41,11 @@ class HandPosePredictor:
     batch_stats: dict
     image_size: int = 224
     max_batch: int = 64
+    mesh: Optional[object] = None  # jax.sharding.Mesh for data-parallel
 
     @classmethod
     def from_checkpoint(cls, opt: Options, image_size: int = 224,
-                        variables=None) -> "HandPosePredictor":
+                        variables=None, mesh=None) -> "HandPosePredictor":
         model, _ = build_model(opt, image_size)
         if variables is None:
             sample = jnp.zeros((1, image_size, image_size, 3),
@@ -51,12 +58,29 @@ class HandPosePredictor:
                 opt.checkpoint_path_eval, variables["params"])
         return cls(model=model, params=variables["params"],
                    batch_stats=variables.get("batch_stats", {}),
-                   image_size=image_size)
+                   image_size=image_size, mesh=mesh)
 
     def __post_init__(self):
         model = self.model
+        if self.mesh is not None:
+            # data-parallel serving: params live replicated on the mesh,
+            # each request chunk is sharded over the data axis.  XLA
+            # runs the same program per shard; no collectives are needed
+            # in a pure forward, so throughput scales with chips.
+            rep = mesh_lib.replicated(self.mesh)
+            self._batch_sh = mesh_lib.batch_sharding(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+            ndev = self.mesh.shape[mesh_lib.DATA_AXIS]
+            if self.max_batch % ndev:
+                self.max_batch = max(self.max_batch // ndev, 1) * ndev
+            jit_kwargs = dict(
+                in_shardings=(rep, rep, self._batch_sh),
+                out_shardings=rep)
+        else:
+            self._batch_sh = None
+            jit_kwargs = {}
 
-        @jax.jit
         def _forward(params, batch_stats, images):
             # uint8 requests normalize ON DEVICE: the host uploads 4x
             # fewer bytes than float32 crops and skips a host-side
@@ -73,10 +97,12 @@ class HandPosePredictor:
             j2d = project_2d(batch_orth_proj_idrot(j3d, cam))
             return cam, j3d, j2d
 
-        self._forward = _forward
-        # bucketed batch sizes: powers of two up to max_batch, so at
-        # most log2(max_batch)+1 compiled programs ever exist
-        self._buckets = [1]
+        self._forward = jax.jit(_forward, **jit_kwargs)
+        # bucketed batch sizes: powers of two up to max_batch (times the
+        # data-axis size under a mesh, so every shard is a static
+        # shape), so at most log2(max_batch)+1 compiled programs exist
+        self._buckets = [1 if self.mesh is None
+                         else self.mesh.shape[mesh_lib.DATA_AXIS]]
         while self._buckets[-1] < self.max_batch:
             self._buckets.append(self._buckets[-1] * 2)
 
@@ -102,6 +128,14 @@ class HandPosePredictor:
         ``camera [N,3]``, ``joints_3d [N,21,3]`` (root-centered, meters),
         ``joints_2d [N,21,2]`` (crop pixels)."""
         x = np.asarray(images)
+        if (np.issubdtype(x.dtype, np.integer) or x.dtype == np.bool_) \
+                and x.dtype != np.uint8:
+            # the on-device /127.5-1 normalization is only correct for
+            # the documented uint8 [0,255] contract; any other integer
+            # dtype would be silently misscaled
+            raise ValueError(
+                f"integer inputs must be uint8 [0,255], got {x.dtype}; "
+                "pass float crops already normalized to [-1,1] instead")
         n = x.shape[0]
         # uint8 stays uint8: device-side normalization (see _forward)
         # moves 4x fewer bytes over the host->device link
@@ -131,11 +165,13 @@ class HandPosePredictor:
             j3ds.append(np.asarray(j3d))
             j2ds.append(np.asarray(j2d))
 
+        put = (jnp.asarray if self._batch_sh is None
+               else lambda a: jax.device_put(a, self._batch_sh))
         for s in starts:
             if len(inflight) >= window:
                 drain_one()
             inflight.append(self._forward(self.params, self.batch_stats,
-                                          jnp.asarray(x[s:s + big])))
+                                          put(x[s:s + big])))
         while inflight:
             drain_one()
         return {"camera": np.concatenate(cams)[:n],

@@ -211,22 +211,24 @@ class Trainer:
                                else None)
                     n_samples += self.batch_size
                     global_step += 1
+                    # accumulate ON DEVICE: a host float() here would
+                    # force a D2H sync EVERY step, serializing dispatch
+                    # with device execution (measured: the loop
+                    # throughput collapses to ~1/5 of the device rate).
+                    # The adds are tiny async ops; values only cross to
+                    # the host at the log boundary below.  Inside the
+                    # per-dataset loop so multi-dataset stages log every
+                    # member's losses, not just the tuple's last.
+                    running_loss = running_loss + stats["loss"]
+                    loss_3d = loss_3d + stats["loss_3d"]
+                    loss_2d = loss_2d + stats["loss_2d"]
+                    loss_pl = loss_pl + stats["loss_pl"]
                 if opt.debug and i % 100 == 0:
                     # one render per firing (the reference re-renders —
                     # and overwrites the same PNG — once per dataset in
                     # the tuple, train.py:211-222; the last one is the
                     # only one that survives, so render only that)
                     self._debug_visualize(batch, stats)
-                # accumulate ON DEVICE: a host float() here would force
-                # a D2H sync EVERY step, serializing dispatch with
-                # device execution (measured: the loop throughput
-                # collapses to ~1/5 of the device rate).  The adds are
-                # tiny async ops; values only cross to the host at the
-                # log boundary below.
-                running_loss = running_loss + stats["loss"]
-                loss_3d = loss_3d + stats["loss_3d"]
-                loss_2d = loss_2d + stats["loss_2d"]
-                loss_pl = loss_pl + stats["loss_pl"]
                 if i % log_every == 0:
                     print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
                           "2d loss: %.3f, pose length reg: %.3f"

@@ -59,7 +59,7 @@ def test_evaluator_aggregation_matches_manual(tmp_path, rng):
     ev.model = model
     ev.eval_step = jax.jit(steps.make_eval_step(
         model, pck_range=tuple(int(r) for r in RNGE)))
-    res = ev.eval("STB")
+    res = ev.eval()
 
     # manual re-execution of the aggregation protocol
     step = jax.jit(steps.make_eval_step(
@@ -94,3 +94,17 @@ def test_eval_step_166_labels(rng):
     step = jax.jit(steps.make_eval_step(model))
     out = step(variables["params"], variables["batch_stats"], b)
     assert np.all(np.isfinite(np.asarray(out["mpjpe_per_sample"])))
+
+
+def test_injected_dataset_rejects_name(tmp_path):
+    """eval(eval_dataset=...) with an injected dataset would be silently
+    ignored — it must raise instead (the argument is honored now)."""
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  batch_size=4, compute_dtype="float32",
+                  use_pallas_attention=False,
+                  checkpoint_path_eval="/nonexistent",
+                  result_dir=str(tmp_path / "res"))
+    ds = _Labels166Dataset(n=1, bs=4, img=64)
+    ev = Evaluator(opt, image_size=64, dataset=ds)
+    with pytest.raises(ValueError, match="injected dataset"):
+        ev.eval("STB")

@@ -214,7 +214,7 @@ def test_mhp_demo_runner_end_to_end(tmp_path, rng):
          "dropout": jax.random.key(2)}, sample, train=False)
     runner = DemoRunner(opt, variables=variables, loader=loader,
                         image_size=64)
-    runner.demo(eval_set="MHP")
+    runner.demo()
     out = tmp_path / "out"
     assert (out / "fm" / "001.png").exists()          # feature tiles
     assert (out / "3d" / "gt_pred_001.png").exists()  # 3-panel plot

@@ -47,7 +47,7 @@ def test_evaluator_loads_reference_pth(tmp_path, rng):
         want, _ = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
     np.testing.assert_allclose(np.asarray(pred), want.numpy(),
                                atol=2e-3)
-    res = ev.eval("STB")
+    res = ev.eval()
     assert np.isfinite(res["mpjpe_mm"]) and np.isfinite(res["auc"])
 
 

@@ -50,6 +50,23 @@ def test_color_jitter_ranges(rng):
     np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
 
 
+def test_color_jitter_np_matches_semantics(rng):
+    """Host-thread numpy jitter: same contract as the device one —
+    range-preserving, identity at zero strength, per-sample factors."""
+    from scat_tpu.data.preprocess import color_jitter_np
+    x = (rng.rand(4, 16, 16, 3) * 2 - 1).astype(np.float32)
+    y = color_jitter_np(np.random.RandomState(0), x.copy())
+    assert y.shape == x.shape and y.dtype == np.float32
+    assert y.min() >= -1.0 and y.max() <= 1.0
+    z = color_jitter_np(np.random.RandomState(0), x.copy(), 0, 0, 0, 0)
+    np.testing.assert_allclose(z, x, atol=1e-5)
+    # per-sample (not per-batch) factors: two identical samples in one
+    # batch must usually come out different
+    same = np.stack([x[0], x[0]])
+    j = color_jitter_np(np.random.RandomState(1), same)
+    assert np.abs(j[0] - j[1]).max() > 1e-3
+
+
 def test_freeze_backbone_zeroes_encoder_updates(rng):
     import jax
     from scat_tpu.training.schedule import make_optimizer

@@ -70,3 +70,33 @@ def test_oversized_request_chunks(rng):
     imgs = (rng.rand(9, IMG, IMG, 3) * 255).astype(np.uint8)
     out = p.predict(imgs)
     assert out["joints_3d"].shape == (9, 21, 3)
+
+
+def test_rejects_non_uint8_integers(rng):
+    p = _predictor()
+    with pytest.raises(ValueError, match="uint8"):
+        p.predict((rng.rand(2, IMG, IMG, 3) * 255).astype(np.int32))
+
+
+@pytest.mark.slow
+def test_mesh_predict_matches_single_device(rng):
+    """Data-parallel serving over the 8-device mesh must agree with the
+    single-device predictor (and handle N that doesn't divide 8)."""
+    from scat_tpu.parallel import mesh as mesh_lib
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  checkpoint_path_eval="/nonexistent")
+    single = HandPosePredictor.from_checkpoint(opt, image_size=IMG)
+    mesh = mesh_lib.make_mesh()
+    sharded = HandPosePredictor(
+        model=single.model, params=single.params,
+        batch_stats=single.batch_stats, image_size=IMG, mesh=mesh)
+    assert sharded._buckets[0] == mesh.shape["data"]
+    assert all(b % mesh.shape["data"] == 0 for b in sharded._buckets)
+    # N=11: pads to 16 (two shards of 8), exercises padding + sharding
+    imgs = (rng.rand(11, IMG, IMG, 3) * 255).astype(np.uint8)
+    a = single.predict(imgs)
+    b = sharded.predict(imgs)
+    np.testing.assert_allclose(a["joints_3d"], b["joints_3d"], atol=1e-4)
+    np.testing.assert_allclose(a["joints_2d"], b["joints_2d"], atol=1e-3)
+    np.testing.assert_allclose(a["camera"], b["camera"], atol=1e-4)
