@@ -19,7 +19,17 @@ import numpy as np
 
 def convert_smpl_to_bbox(data3D: jax.Array, scale, trans,
                          bAppTransFirst: bool = False) -> jax.Array:
-    """reference test.py:73-86: scale/translate into 224-bbox space."""
+    """reference test.py:73-86: scale/translate into 224-bbox space.
+
+    NOTE on the ``bAppTransFirst=False`` branch: the reference writes
+    ``data3D[:,0:2] += trans`` on a [B,N,3] array — that shifts the
+    first two JOINTS (all xyz), not the xy coordinates; frankmocap's
+    original (which this code was lifted from) uses ``[:,:,0:2]``.  The
+    function is dead code upstream (never called in test.py), so we
+    implement the evident intent — xy shift — in both branches and flag
+    the divergence here."""
+    data3D = jnp.asarray(data3D)
+    trans = jnp.asarray(trans)
     half = 224 * 0.5
     if bAppTransFirst:
         data3D = data3D.at[..., 0:2].add(trans)
@@ -34,6 +44,7 @@ def convert_bbox_to_oriIm(data3D: jax.Array, boxScale_o2n,
                           bboxTopLeft, imgSizeW: int, imgSizeH: int
                           ) -> jax.Array:
     """reference test.py:55-71: bbox space -> original-image pixels."""
+    data3D = jnp.asarray(data3D)
     half = 224 * 0.5
     data3D = data3D / boxScale_o2n
     shift = jnp.asarray(bboxTopLeft) + half / boxScale_o2n
