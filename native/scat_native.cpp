@@ -187,9 +187,45 @@ void scat_affine_warp_u8(const uint8_t* in, int H, int W,
 }
 
 // ---------------------------------------------------------------------
+// Motion blur: 1D box kernel of length k along one axis, applied to the
+// full frame BEFORE the warp (the reference blurs the frame then crops,
+// load_STB.py:266-268 + dataset/utils.py:204-241 via cv2.filter2D).
+// Anchor k/2 and REFLECT_101 borders match cv2.filter2D's defaults and
+// the jnp formulation in stb.maybe_motion_blur.
+// ---------------------------------------------------------------------
+
+static void box_blur_1d_u8(uint8_t* img, int H, int W, int k, int axis) {
+  if (k <= 1) return;
+  const int anchor = k / 2;
+  const float inv = 1.0f / (float)k;
+  const int len = (axis == 0) ? H : W;
+  std::vector<uint8_t> tmp((size_t)H * W * 3);
+  memcpy(tmp.data(), img, tmp.size());
+  for (int y = 0; y < H; y++) {
+    for (int x = 0; x < W; x++) {
+      float acc[3] = {0, 0, 0};
+      for (int t = -anchor; t <= k - 1 - anchor; t++) {
+        int p = (axis == 0) ? y + t : x + t;
+        if (p < 0) p = -p;                       // REFLECT_101
+        if (p >= len) p = 2 * len - 2 - p;
+        const uint8_t* src = (axis == 0)
+            ? tmp.data() + ((size_t)p * W + x) * 3
+            : tmp.data() + ((size_t)y * W + p) * 3;
+        acc[0] += src[0]; acc[1] += src[1]; acc[2] += src[2];
+      }
+      uint8_t* dst = img + ((size_t)y * W + x) * 3;
+      for (int ch = 0; ch < 3; ch++)
+        dst[ch] = (uint8_t)(acc[ch] * inv + 0.5f);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
 // Threaded batch loader: decode + warp a batch of files concurrently.
 // paths: N C-strings; Minv: [N, 6]; out: [N, oh, ow, 3] float32.
 // status: [N] int (0 ok).  Returns number of failures.
+// blur_ksize/blur_axis (nullable): per-image motion-blur params
+// (ksize<=1 = none; axis 0 vertical, 1 horizontal).
 // ---------------------------------------------------------------------
 
 struct Pool {
@@ -251,9 +287,10 @@ void scat_init_pool(int n_threads) {
   init_pool_locked(n_threads);
 }
 
-int scat_load_batch(const char** paths, int n, int H, int W,
-                    const float* Minv, float* out, int oh, int ow,
-                    int* status) {
+int scat_load_batch_aug(const char** paths, int n, int H, int W,
+                        const float* Minv, float* out, int oh, int ow,
+                        int* status, const int* blur_ksize,
+                        const int* blur_axis) {
   Pool* pool;
   {
     std::lock_guard<std::mutex> lk(g_pool_mu);
@@ -270,6 +307,9 @@ int scat_load_batch(const char** paths, int n, int H, int W,
       status[i] = rc;
       float* dst = out + (size_t)i * oh * ow * 3;
       if (rc == 0) {
+        if (blur_ksize && blur_ksize[i] > 1)
+          box_blur_1d_u8(buf.data(), H, W, blur_ksize[i],
+                         blur_axis ? blur_axis[i] : 0);
         scat_affine_warp_u8(buf.data(), H, W, Minv + (size_t)i * 6,
                             dst, oh, ow);
       } else {
@@ -293,6 +333,13 @@ int scat_load_batch(const char** paths, int n, int H, int W,
   int fails = 0;
   for (int i = 0; i < n; i++) fails += status[i] != 0;
   return fails;
+}
+
+int scat_load_batch(const char** paths, int n, int H, int W,
+                    const float* Minv, float* out, int oh, int ow,
+                    int* status) {
+  return scat_load_batch_aug(paths, n, H, W, Minv, out, oh, ow, status,
+                             nullptr, nullptr);
 }
 
 }  // extern "C"

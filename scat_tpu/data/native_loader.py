@@ -67,6 +67,9 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int)]
+    lib.scat_load_batch_aug.restype = ctypes.c_int
+    lib.scat_load_batch_aug.argtypes = lib.scat_load_batch.argtypes + [
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return lib
 
@@ -112,9 +115,16 @@ def affine_warp(image_u8: np.ndarray, M_inv: np.ndarray, oh: int, ow: int
 
 
 def load_batch(paths: Sequence[str], height: int, width: int,
-               M_inv: np.ndarray, oh: int = 224, ow: int = 224
+               M_inv: np.ndarray, oh: int = 224, ow: int = 224,
+               blur_ksize: Optional[np.ndarray] = None,
+               blur_axis: Optional[np.ndarray] = None
                ) -> tuple[np.ndarray, np.ndarray]:
     """Decode+warp a batch concurrently.
+
+    ``blur_ksize``/``blur_axis`` [N] int: optional per-image motion blur
+    applied to the full frame before the warp (ksize<=1 = none; axis 0
+    vertical, 1 horizontal — the reference's per-sample draw,
+    load_STB.py:266-268).
 
     Returns (images [N,oh,ow,3] float32 in [-1,1], valid [N] float32) —
     failed decodes come back all -1 with valid=0, mirroring the
@@ -128,10 +138,21 @@ def load_batch(paths: Sequence[str], height: int, width: int,
     Minv = np.ascontiguousarray(M_inv, np.float32).reshape(n, 6)
     out = np.empty((n, oh, ow, 3), np.float32)
     status = np.empty((n,), np.int32)
-    lib.scat_load_batch(
+    int_ptr = ctypes.POINTER(ctypes.c_int)
+    if blur_ksize is None:
+        ks_p = ctypes.cast(None, int_ptr)
+        ax_p = ctypes.cast(None, int_ptr)
+    else:
+        ks = np.ascontiguousarray(blur_ksize, np.int32)
+        ax = np.ascontiguousarray(
+            blur_axis if blur_axis is not None else np.zeros(n),
+            np.int32)
+        ks_p = ks.ctypes.data_as(int_ptr)
+        ax_p = ax.ctypes.data_as(int_ptr)
+    lib.scat_load_batch_aug(
         arr, n, height, width,
         Minv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow,
-        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        status.ctypes.data_as(int_ptr), ks_p, ax_p)
     valid = (status == 0).astype(np.float32)
     return out, valid

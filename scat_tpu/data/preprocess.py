@@ -101,24 +101,27 @@ def crop_hand_affine(joints_2d, img_w, img_h,
     return M, joints_out
 
 
-def rotate_affine_expand(angle_deg: jax.Array, w, h
+def rotate_affine_expand(angle_deg: jax.Array, w, h, xp=jnp
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rotation about the image center with canvas expansion
     (reference rotation.py:7-30).  Returns (affine, new_w, new_h).
     NOTE: the expanded canvas size is data-dependent; for static shapes
     feed the affine into a fixed-size output and fold the expansion into
-    the subsequent crop affine.
+    the subsequent crop affine.  ``xp`` selects the array module (numpy
+    for the native host path, which bakes this affine into the C++
+    warp).
     """
-    w = jnp.asarray(w, jnp.float32)
-    h = jnp.asarray(h, jnp.float32)
+    w = xp.asarray(w, xp.float32)
+    h = xp.asarray(h, xp.float32)
     M = rotation_matrix_2d(angle_deg,
-                           jnp.stack([w // 2, h // 2], -1))
-    cos = jnp.abs(M[..., 0, 0])
-    sin = jnp.abs(M[..., 0, 1])
-    nW = jnp.floor(h * sin + w * cos)
-    nH = jnp.floor(h * cos + w * sin)
-    M = M.at[..., 0, 2].add(nW / 2 - w // 2)
-    M = M.at[..., 1, 2].add(nH / 2 - h // 2)
+                           xp.stack([w // 2, h // 2], -1), xp=xp)
+    cos = xp.abs(M[..., 0, 0])
+    sin = xp.abs(M[..., 0, 1])
+    nW = xp.floor(h * sin + w * cos)
+    nH = xp.floor(h * cos + w * sin)
+    shift = xp.stack([nW / 2 - w // 2, nH / 2 - h // 2], axis=-1)
+    M = xp.concatenate([M[..., :2], (M[..., 2] + shift)[..., None]],
+                       axis=-1)
     return M, nW, nH
 
 

@@ -149,20 +149,13 @@ class STBDataset:
                  use_heatmap: bool = False, shuffle: bool = True,
                  seed: int = 0, opt: Optional[Options] = None,
                  use_native: Optional[bool] = None):
-        # native C++ decode+warp fast path (native/scat_native.cpp);
-        # augmentations that need the full frame fall back to the
-        # on-device pipeline.
+        # native C++ decode+warp fast path (native/scat_native.cpp):
+        # rotation composes into the warp affine and motion blur runs as
+        # a native pre-warp box filter, so the augmented configs
+        # (reference load_STB.py:266-272) ride the fast path too.
         if use_native is None:
             from scat_tpu.data import native_loader
-            use_native = (native_loader.available()
-                          and not rotation and not motion_blur)
-        elif use_native and (rotation or motion_blur):
-            # explicit opt-in must not silently drop augmentations
-            raise ValueError(
-                "use_native=True is incompatible with rotation/"
-                "motion_blur (the native path warps crops without the "
-                "full-frame augmentations); leave use_native=None for "
-                "automatic fallback")
+            use_native = native_loader.available()
         self.use_native = use_native
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -204,9 +197,13 @@ class STBDataset:
         joints_3d = rescale_3d_joints_flip_np(joints_3d.astype(np.float64))
         return joints_3d.astype(np.float32), joints_2d.astype(np.float32)
 
-    def _native_batch(self, idxs) -> Dict[str, jax.Array]:
-        """C++ fast path: host computes the flip+crop affine from the
-        labels, native pool decodes + warps + normalizes."""
+    def _native_batch(self, idxs, rng: np.random.RandomState
+                      ) -> Dict[str, jax.Array]:
+        """C++ fast path: host computes the flip(+rotation)+crop affine
+        from the labels, native pool decodes + (blurs +) warps +
+        normalizes.  Augmentation draws follow the same rng stream and
+        order as the device path (angle, then blur use/ksize/axis) so a
+        seed yields identical augmentation parameters either way."""
         from scat_tpu.data import native_loader, preprocess
         B = len(idxs)
         W, H = 640, 480  # STB SK_color frame size (load_STB.py:150)
@@ -214,19 +211,49 @@ class STBDataset:
         j2d = np.zeros((B, 21, 2), np.float32)
         for n, i in enumerate(idxs):
             j3d[n], j2d[n] = self.sample_labels(i)
+        angle = (rng.randint(1, 361, size=(B,)).astype(np.float32)
+                 if self.rotation else None)
+        blur_ksize = blur_axis = None
+        if self.motion_blur:
+            # same per-sample draws as maybe_motion_blur (1-in-6,
+            # ksize 1..10, vertical/horizontal)
+            use = rng.randint(0, 6, size=B) == 1
+            ksize = rng.randint(1, 11, size=B)
+            blur_axis = rng.randint(0, 2, size=B)
+            blur_ksize = np.where(use, ksize, 0).astype(np.int32)
         # pure-numpy affine math: this runs in the prefetch thread, and
         # jnp here would dispatch tiny device ops + a D2H sync per batch
         # that contend with the training step (xp=np, same formulas)
         Mf = preprocess.flip_affine(np.full((B,), float(W)), xp=np)
         ones = np.ones((B, 21, 1), np.float32)
-        j2f = np.einsum("bij,bnj->bni", Mf,
-                        np.concatenate([j2d, ones], -1))
-        Mc, j2d_out = preprocess.crop_hand_affine(j2f, W, H, 224, xp=np)
-        M = preprocess.affine_compose(Mc, Mf, xp=np)
+        M = Mf
+        crop_w, crop_h = W, H
+        if angle is not None:
+            # canvas-expansion rotation folded into the warp affine —
+            # same composition as fused_crop_pipeline's jnp path
+            R, nW, nH = preprocess.rotate_affine_expand(angle, W, H,
+                                                        xp=np)
+            M = preprocess.affine_compose(R, Mf, xp=np)
+            crop_w, crop_h = nW, nH
+        joints = np.einsum("bij,bnj->bni", M,
+                           np.concatenate([j2d, ones], -1))
+        Mc, j2d_out = preprocess.crop_hand_affine(
+            joints, crop_w, crop_h, 224, xp=np)
+        M = preprocess.affine_compose(Mc, M, xp=np)
         Minv = np.ascontiguousarray(
             preprocess.affine_invert(M, xp=np).astype(np.float32))
+        if angle is not None:
+            # rotate the 3D labels like the device path (stb jnp path /
+            # reference rotation.py:36-45), host-side numpy
+            from scat_tpu.ops.geometry import (rotate_joints_3d,
+                                               rotation_matrix_2d)
+            Mrot = rotation_matrix_2d(angle, np.zeros((B, 2), np.float32),
+                                      xp=np)
+            j3d = rotate_joints_3d(j3d, Mrot, xp=np).astype(np.float32)
         paths = [self.image_paths[i] for i in idxs]
-        imgs, valid = native_loader.load_batch(paths, H, W, Minv)
+        imgs, valid = native_loader.load_batch(
+            paths, H, W, Minv, blur_ksize=blur_ksize,
+            blur_axis=blur_axis)
         label = jnp.concatenate(
             [jnp.asarray(j3d).reshape(B, 63),
              jnp.asarray(j2d_out).reshape(B, 42)], axis=1)
@@ -248,7 +275,7 @@ class STBDataset:
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
             if self.use_native:
-                yield self._native_batch(idxs)
+                yield self._native_batch(idxs, rng)
                 continue
             imgs = np.stack([self._load_image(self.image_paths[i])
                              for i in idxs])

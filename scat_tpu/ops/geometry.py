@@ -127,17 +127,19 @@ def project_points_pinhole(joints_3d, K, xp=jnp):
     return uvw[..., :2] / uvw[..., 2:]
 
 
-def rotation_matrix_2d(angle_deg: jax.Array, center: jax.Array) -> jax.Array:
+def rotation_matrix_2d(angle_deg: jax.Array, center: jax.Array,
+                       xp=jnp) -> jax.Array:
     """cv2.getRotationMatrix2D equivalent: ``[...,2,3]`` affine for a CCW
     rotation of ``angle_deg`` about ``center`` (reference rotation.py:17).
+    ``xp`` selects the array module (numpy for host loader paths).
     """
-    a = jnp.deg2rad(angle_deg)
-    cos, sin = jnp.cos(a), jnp.sin(a)
+    a = xp.deg2rad(angle_deg)
+    cos, sin = xp.cos(a), xp.sin(a)
     cx, cy = center[..., 0], center[..., 1]
     # OpenCV convention: alpha=cos, beta=sin; x' = a*x + b*y + (1-a)cx - b*cy
-    r0 = jnp.stack([cos, sin, (1 - cos) * cx - sin * cy], axis=-1)
-    r1 = jnp.stack([-sin, cos, sin * cx + (1 - cos) * cy], axis=-1)
-    return jnp.stack([r0, r1], axis=-2)
+    r0 = xp.stack([cos, sin, (1 - cos) * cx - sin * cy], axis=-1)
+    r1 = xp.stack([-sin, cos, sin * cx + (1 - cos) * cy], axis=-1)
+    return xp.stack([r0, r1], axis=-2)
 
 
 def rotate_joints_2d(joints_2d: jax.Array, M: jax.Array) -> jax.Array:
@@ -147,11 +149,13 @@ def rotate_joints_2d(joints_2d: jax.Array, M: jax.Array) -> jax.Array:
     return homo @ jnp.swapaxes(M, -1, -2)
 
 
-def rotate_joints_3d(joints_3d: jax.Array, M: jax.Array) -> jax.Array:
+def rotate_joints_3d(joints_3d: jax.Array, M: jax.Array,
+                     xp=jnp) -> jax.Array:
     """In-plane 3D rotation from the image affine (reference rotation.py:36-45).
 
     The reference embeds the 2x2 block of the image affine into a 4x4 with
     the transposed sign pattern (M_3d[1][0] = -M[0][1]); z passes through.
+    ``xp`` selects the array module (numpy for host loader paths).
     """
     # [..., None] broadcasts a batched [B,2,3] affine over the joint
     # axis ([B] -> [B,1] against [B,N]); unbatched M stays compatible
@@ -160,7 +164,7 @@ def rotate_joints_3d(joints_3d: jax.Array, M: jax.Array) -> jax.Array:
     x, y, z = joints_3d[..., 0], joints_3d[..., 1], joints_3d[..., 2]
     xr = c * x + s * y
     yr = -s * x + c * y
-    return jnp.stack([xr, yr, z], axis=-1)
+    return xp.stack([xr, yr, z], axis=-1)
 
 
 def root_center(joints: jax.Array, root_index: int = 1) -> jax.Array:

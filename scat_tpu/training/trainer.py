@@ -93,6 +93,16 @@ class Trainer:
               else "no pose length reg")
         self.l_weight_3d = opt.l_weight_3d
         self.l_weight_2d = opt.l_weight_2d
+        if not (self.l_weight_3d or self.l_weight_2d or self.pl):
+            # faithful reference default (config.py:56-57 defaults BOTH
+            # weights to 0.0) — but training with an identically-zero
+            # loss silently optimizes nothing, so say it out loud; the
+            # canonical runs pass --l_weight_3d 100000 --l_weight_2d 10
+            # (script/ablation_pose.sh:5)
+            print("WARNING: l_weight_3d == l_weight_2d == 0 and pl_reg "
+                  "off — the training loss is identically zero (the "
+                  "reference's default too); pass --l_weight_3d 100000 "
+                  "--l_weight_2d 10 for the canonical run")
 
         mesh_lib.maybe_initialize_distributed()
         _enable_compilation_cache()

@@ -89,3 +89,67 @@ def test_stb_native_path_matches_device_path(tmp_path, rng):
                                np.asarray(b_d["label"]), atol=1e-2)
     np.testing.assert_allclose(np.asarray(b_n["image"]),
                                np.asarray(b_d["image"]), atol=1e-4)
+
+
+def test_native_box_blur_matches_reference_math(tmp_path, rng):
+    """1-sample blur through load_batch (identity warp) vs a float64
+    re-execution of the cv2.filter2D-convention box blur (anchor k//2,
+    REFLECT_101 — reference dataset/utils.py:204-241)."""
+    H, W = 32, 40
+    img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "b.png")
+    Image.fromarray(img).save(p)
+    M = np.array([[[1, 0, 0], [0, 1, 0]]], np.float32)
+    for k, axis in [(4, 0), (7, 1), (10, 0)]:
+        got, valid = nl.load_batch([p], H, W, M, H, W,
+                                   blur_ksize=np.array([k]),
+                                   blur_axis=np.array([axis]))
+        assert valid[0] == 1.0
+        anchor = k // 2
+        x = img.astype(np.float64)
+        acc = np.zeros_like(x)
+        n = H if axis == 0 else W
+        for t in range(-anchor, k - anchor):
+            idx = np.arange(n) + t
+            idx = np.where(idx < 0, -idx, idx)
+            idx = np.where(idx >= n, 2 * n - 2 - idx, idx)
+            acc += x[idx] if axis == 0 else x[:, idx]
+        want_u8 = np.floor(acc / k + 0.5)   # native rounds to uint8
+        want = want_u8 / 255.0 * 2.0 - 1.0
+        np.testing.assert_allclose(got[0], want, atol=1e-5)
+    # ksize<=1 must be a no-op
+    got, _ = nl.load_batch([p], H, W, M, H, W,
+                           blur_ksize=np.array([1]),
+                           blur_axis=np.array([0]))
+    np.testing.assert_allclose(
+        got[0], img.astype(np.float64) / 255 * 2 - 1, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rotation,motion_blur",
+                         [(True, False), (False, True), (True, True)])
+def test_stb_native_augmented_matches_device_path(tmp_path, rng,
+                                                  rotation, motion_blur):
+    """--rotation/--motion_blur now ride the native fast path: same
+    seed -> same augmentation draws -> native crops/labels match the
+    PIL+device pipeline (images within blur-rounding tolerance)."""
+    from tests.test_stb import _write_synthetic_stb
+    from scat_tpu.config import Options
+    from scat_tpu.data import stb
+
+    data_dir = str(_write_synthetic_stb(tmp_path))
+    opt = Options(data_dir=data_dir, batch_size=4)
+    kw = dict(rotation=rotation, motion_blur=motion_blur,
+              shuffle=False, seed=3, opt=opt)
+    ds_native = stb.STBDataset("STB_train", data_dir, 4,
+                               use_native=True, **kw)
+    ds_device = stb.STBDataset("STB_train", data_dir, 4,
+                               use_native=False, **kw)
+    b_n = next(iter(ds_native))
+    b_d = next(iter(ds_device))
+    np.testing.assert_allclose(np.asarray(b_n["label"]),
+                               np.asarray(b_d["label"]), atol=1e-2)
+    # blur rounds to uint8 natively (device path blurs in float);
+    # the warp then mixes 4 neighbours -> ~2/255 worst case
+    np.testing.assert_allclose(np.asarray(b_n["image"]),
+                               np.asarray(b_d["image"]), atol=2e-2)
