@@ -28,7 +28,16 @@ def _build() -> bool:
         subprocess.run(["bash", script], check=True,
                        capture_output=True, timeout=120)
         return True
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        # visible once: a failed build silently demotes every loader to
+        # the slower PIL path otherwise
+        tail = (e.stderr or b"").decode(errors="replace")[-300:]
+        print(f"[native] build failed, falling back to the PIL "
+              f"pipeline: {tail}")
+        return False
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"[native] build unavailable ({e}); using the PIL "
+              "pipeline")
         return False
 
 
