@@ -6,15 +6,23 @@ rules annotate large kernels over a ``model`` mesh axis and let GSPMD
 insert the collectives.  Rules (applied only when the mesh has a
 ``model`` axis of size > 1):
 
-  * Dense kernels [in, out]: shard ``out`` when divisible (column
-    parallel); XLA all-gathers activations where needed.
+  * **Megatron pairing inside transformer blocks**: the QKV projection
+    (``to_qkv``) and the FFN's first dense shard their OUTPUT dim
+    (column parallel, splitting heads / hidden units); the attention
+    output projection (``to_out``) and the FFN's second dense shard
+    their INPUT dim (row parallel).  The intermediate activation stays
+    model-sharded between the pair, so GSPMD emits ONE reduction per
+    block (the row matmul's psum) instead of all-gathering every
+    column output.
+  * Other Dense kernels [in, out]: shard ``out`` when divisible
+    (column parallel); XLA all-gathers activations where needed.
   * Conv kernels [kh, kw, in, out]: shard output channels.
   * Everything else (biases, norms, small params): replicated.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Tuple
 
 import jax
 import numpy as np
@@ -22,14 +30,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scat_tpu.parallel.mesh import MODEL_AXIS
 
+# module-name markers for the Megatron column/row pairs in the pyramid
+# transformer (models/transformer.py: Attention's to_qkv/to_out; the
+# FFN's two anonymous Dense layers are Dense_0/Dense_1 inside ff_*)
+_COLUMN_MARKERS = ("to_qkv",)
+_ROW_MARKERS = ("to_out",)
 
-def param_partition_spec(path_leaf, leaf, model_size: int,
+
+def _path_names(path) -> Tuple[str, ...]:
+    names = []
+    for e in path:
+        key = getattr(e, "key", None)
+        if key is not None:
+            names.append(str(key))
+    return tuple(names)
+
+
+def param_partition_spec(path, leaf, model_size: int,
                          min_elems: int = 1 << 16) -> P:
     shape = np.shape(leaf)
     if np.prod(shape, dtype=np.int64) < min_elems:
         return P()
-    if len(shape) == 2 and shape[1] % model_size == 0:
-        return P(None, MODEL_AXIS)
+    names = _path_names(path) if path else ()
+    in_ff = any(n.startswith("ff_") for n in names)
+    if len(shape) == 2:
+        column = (any(m in names for m in _COLUMN_MARKERS)
+                  or (in_ff and "Dense_0" in names))
+        row = (any(m in names for m in _ROW_MARKERS)
+               or (in_ff and "Dense_1" in names))
+        if row and shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)
+        if shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)
+        if column and shape[0] % model_size == 0:
+            # fall back to row if the output dim doesn't divide (e.g.
+            # the pyramid FFN's odd hidden dims)
+            return P(MODEL_AXIS, None)
+        return P()
     if len(shape) == 4 and shape[3] % model_size == 0:
         return P(None, None, None, MODEL_AXIS)
     return P()
@@ -42,9 +79,9 @@ def make_param_shardings(params: Any, mesh: Mesh,
         return jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P()), params)
     model_size = mesh.shape[MODEL_AXIS]
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(
-            mesh, param_partition_spec(None, leaf, model_size,
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, param_partition_spec(path, leaf, model_size,
                                        min_elems)),
         params)
 

@@ -28,6 +28,51 @@ def test_rules_shard_large_kernels_only():
         None, None, None, "model")
 
 
+def test_megatron_pairing_column_then_row():
+    """to_qkv/FFN-first shard the OUTPUT dim; to_out/FFN-second shard
+    the INPUT dim, so the pair needs one psum instead of an all-gather
+    per matmul."""
+    mesh = mesh_lib.make_mesh((("data", 4), ("model", 2)))
+    params = {
+        "attn_0": {"to_qkv": {"kernel": jnp.zeros((784, 384))},
+                   "to_out": {"kernel": jnp.zeros((128, 784))}},
+        "ff_0": {"Dense_0": {"kernel": jnp.zeros((784, 588))},
+                 "Dense_1": {"kernel": jnp.zeros((588, 392))}},
+    }
+    sh = make_param_shardings(params, mesh)
+    P = jax.sharding.PartitionSpec
+    assert sh["attn_0"]["to_qkv"]["kernel"].spec == P(None, "model")
+    assert sh["attn_0"]["to_out"]["kernel"].spec == P("model", None)
+    assert sh["ff_0"]["Dense_0"]["kernel"].spec == P(None, "model")
+    assert sh["ff_0"]["Dense_1"]["kernel"].spec == P("model", None)
+
+
+def test_megatron_pair_matches_replicated(rng):
+    """A column->row pair under the rules equals the replicated
+    computation (GSPMD inserts one reduction, not gathers)."""
+    mesh = mesh_lib.make_mesh((("data", 2), ("model", 4)))
+    W1 = jnp.asarray(rng.randn(256, 512) * 0.05, jnp.float32)
+    W2 = jnp.asarray(rng.randn(512, 256) * 0.05, jnp.float32)
+    params = shard_params(
+        {"ff_0": {"Dense_0": {"kernel": W1},
+                  "Dense_1": {"kernel": W2}}}, mesh)
+    assert params["ff_0"]["Dense_0"]["kernel"].sharding.spec == \
+        jax.sharding.PartitionSpec(None, "model")
+    assert params["ff_0"]["Dense_1"]["kernel"].sharding.spec == \
+        jax.sharding.PartitionSpec("model", None)
+    x = jnp.asarray(rng.randn(8, 256), jnp.float32)
+
+    def f(p, x):
+        h = jax.nn.relu(x @ p["ff_0"]["Dense_0"]["kernel"])
+        return h @ p["ff_0"]["Dense_1"]["kernel"]
+
+    got = jax.jit(f)(params,
+                     jax.device_put(x, mesh_lib.batch_sharding(mesh)))
+    h = np.maximum(np.asarray(x) @ np.asarray(W1), 0.0)
+    want = h @ np.asarray(W2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
 def test_data_only_mesh_replicates():
     mesh = mesh_lib.make_mesh()
     params = {"w": jnp.zeros((512, 1024))}
