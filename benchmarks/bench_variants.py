@@ -45,8 +45,9 @@ def bench_net(net: str):
     from scat_tpu import assets
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = on_tpu and not os.environ.get("SCAT_BENCH_NO_PALLAS")
     opt = Options(net=net, iteration=3, vit_heads=8, mask_rate=0.2,
-                  batch_size=BS, use_pallas_attention=on_tpu)
+                  batch_size=BS, use_pallas_attention=use_pallas)
     model, mean = build_model(opt, IMG)
     mean_arr = assets.load_mean_params()
     template = jnp.asarray(mean_arr[3:].reshape(21, 3))
@@ -60,6 +61,13 @@ def bench_net(net: str):
          "dropout": jax.random.key(2)}, batch0["image"], train=True)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
+    consts = variables.get("constants", {})  # ViP's frozen projection
+
+    def mkvars(p, bs):
+        v = {"params": p, "batch_stats": bs}
+        if consts:
+            v["constants"] = consts
+        return v
 
     def timed_once(fn, *args):
         out = fn(*args)
@@ -73,7 +81,7 @@ def bench_net(net: str):
     def infer_k(seed):
         def body(i, acc):
             b = gen(jax.random.fold_in(jax.random.key(0), seed + i))
-            out = model.apply({"params": params, "batch_stats": bstats},
+            out = model.apply(mkvars(params, bstats),
                               b["image"], train=False)
             pred = out[0] if isinstance(out, tuple) else out
             return acc + jnp.sum(pred.astype(jnp.float32))
@@ -91,7 +99,7 @@ def bench_net(net: str):
         def raw_step(state, b):
             def loss_fn(p):
                 outputs, mut = model.apply(
-                    {"params": p, "batch_stats": state.batch_stats},
+                    mkvars(p, state.batch_stats),
                     b["image"], train=True,
                     rngs={"mask": jax.random.key(1),
                           "dropout": jax.random.key(2)},
@@ -110,7 +118,8 @@ def bench_net(net: str):
                 opt_state=new_opt), {"loss": l}
         row["train_loss"] = "l2_proxy (no reference trainer)"
 
-    state = TrainState.create(params, bstats, tx, jax.random.key(9))
+    state = TrainState.create(params, bstats, tx, jax.random.key(9),
+                              constants=consts)
 
     def train_k(state, seed):
         def body(s, i):
@@ -140,7 +149,7 @@ def main():
         try:
             row = bench_net(net.strip())
         except Exception as e:  # keep the sweep alive; report the hole
-            row = {"net": net, "error": repr(e)[:200]}
+            row = {"net": net, "error": repr(e)[:2000]}
         print(json.dumps(row), flush=True)
         rows.append(row)
     print(json.dumps({"variants": rows}))

@@ -115,6 +115,12 @@ class Options:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"   # backbone/transformer compute dtype
     use_pallas_attention: bool = True
+    # ViP's FAVOR+ has a fused Pallas kernel (ops/pallas_favor.py) but
+    # XLA's own fusion of the linear-attention einsums measures FASTER
+    # at both serve (BH=16: 1.7 vs 1.8 ms) and train (BH=384: 12.3 vs
+    # 13.0 ms) scale on v5e (benchmarks/RESULTS.md), so it is opt-in,
+    # separate from the flash-attention kernel (which wins and is on).
+    use_pallas_favor: bool = False
     norm_layer: str = "batch"  # "batch" (parity) | "group" (fast train)
     seed: int = 0
     steps_per_epoch: int = 0          # 0 = derive from dataset length
@@ -146,7 +152,8 @@ _BOOL_FIELDS = (
     "resume", "outside", "use_heatmap", "freeze", "debug", "pos_embed",
     "pl_reg", "motion_blur", "rotation",
     # tpu extensions
-    "use_pallas_attention", "synthetic_data", "compat_argparse_bool",
+    "use_pallas_attention", "use_pallas_favor", "synthetic_data",
+    "compat_argparse_bool",
     "compat_pl_ema_reset", "compat_pck_flat", "donate_state",
 )
 

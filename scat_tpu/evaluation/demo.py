@@ -90,6 +90,8 @@ class DemoRunner:
             variables["batch_stats"] = bs_
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
+        if variables.get("constants"):  # ViP's frozen FAVOR+ projection
+            self.variables["constants"] = variables["constants"]
         self.loader = loader
 
         @jax.jit

@@ -79,8 +79,19 @@ class Evaluator:
                 variables.get("batch_stats", {}))
             variables["params"] = p
             variables["batch_stats"] = bs
+            if variables.get("constants") and \
+                    not opt.checkpoint_path_eval.endswith(".pth"):
+                # ViP's frozen FAVOR+ projection is part of the saved
+                # TrainState — evaluating with a re-drawn one would
+                # silently use the wrong feature map
+                variables["constants"] = \
+                    ckpt_lib.restore_params_nonstrict(
+                        opt.checkpoint_path_eval,
+                        variables["constants"], key="constants",
+                        quiet=True)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+        self.constants = variables.get("constants", {})
 
         self.want_attn = (opt.net == "reg_transformer_coarse"
                           and opt.debug)
@@ -88,7 +99,8 @@ class Evaluator:
             self.model, pl_reg=False,
             pck_range=tuple(int(r) for r in RNGE),
             flat_compat=opt.compat_pck_flat,
-            return_attn=self.want_attn)
+            return_attn=self.want_attn,
+            constants=self.constants)
         self.eval_step = mesh_lib.jit_eval_step(raw, self.mesh)
 
     def _maybe_dump_attention(self, batch, out, n: int):

@@ -66,6 +66,8 @@ class Tester:
             variables["batch_stats"] = bs_
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
+        if variables.get("constants"):  # ViP's frozen FAVOR+ projection
+            self.variables["constants"] = variables["constants"]
 
         @jax.jit
         def forward(images):

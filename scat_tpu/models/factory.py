@@ -80,7 +80,7 @@ def build_model(opt: Options, image_size: int = 224,
     elif opt.net == "ViP":
         model = ViP(mean_params=mean_j, image_pix=image_size,
                     iteration=opt.iteration,
-                    use_pallas=opt.use_pallas_attention,
+                    use_pallas=getattr(opt, "use_pallas_favor", False),
                     dtype=_dtype(opt))
     else:
         raise ValueError(f"unknown --net {opt.net!r}")

@@ -52,6 +52,27 @@ def favor_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return y / D
 
 
+def _torch_linear_dense(features, fan_in: int, dtype, name: str):
+    """``nn.Dense`` with torch ``nn.Linear`` default init: kernel and
+    bias both U(+-sqrt(1/fan_in)) (kaiming_uniform(a=sqrt(5)) reduces to
+    exactly that bound).  Flax's lecun_normal has 3x the variance —
+    benign for most nets, but FAVOR+ exponentiates ||k||^2, so at the
+    reference's emb_s=128 the extra variance drives the feature map's
+    normalizer D into f32 underflow at init (0/0 -> NaN); matching the
+    torch init keeps from-scratch ViP training in the same numeric
+    regime as the reference."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def bias_init(key, shape, bias_dtype=jnp.float32):
+        return jax.random.uniform(key, shape, bias_dtype, -bound, bound)
+
+    return nn.Dense(
+        features, dtype=dtype, name=name,
+        kernel_init=nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"),
+        bias_init=bias_init)
+
+
 class PerformerBlock(nn.Module):
     """Pre-LN performer block (reference vision_performer.py:12-68).
 
@@ -81,7 +102,8 @@ class PerformerBlock(nn.Module):
         y = nn.LayerNorm(name="ln1")(x)
         b, t, _ = y.shape
         yh = y.reshape(b, t, self.head, self.emb_s).transpose(0, 2, 1, 3)
-        kqv = nn.Dense(3 * self.emb_s, dtype=self.dtype, name="kqv")(yh)
+        kqv = _torch_linear_dense(3 * self.emb_s, self.emb_s,
+                                  self.dtype, "kqv")(yh)
         k, q, v = jnp.split(kqv, 3, axis=-1)
         if self.use_pallas:
             from scat_tpu.ops.pallas_favor import favor_attention_fused
@@ -91,15 +113,15 @@ class PerformerBlock(nn.Module):
         else:
             attn = favor_attention(q, k, v, w)    # [b, h, t, emb_s]
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, emb)
-        attn = nn.Dense(emb, dtype=self.dtype, name="proj")(attn)
+        attn = _torch_linear_dense(emb, emb, self.dtype, "proj")(attn)
         attn = nn.Dropout(self.dp_ratio)(attn,
                                          deterministic=deterministic)
         x = x + attn
 
         y = nn.LayerNorm(name="ln2")(x)
-        y = nn.Dense(4 * emb, dtype=self.dtype, name="mlp1")(y)
+        y = _torch_linear_dense(4 * emb, emb, self.dtype, "mlp1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(emb, dtype=self.dtype, name="mlp2")(y)
+        y = _torch_linear_dense(emb, 4 * emb, self.dtype, "mlp2")(y)
         y = nn.Dropout(self.dp_ratio)(y, deterministic=deterministic)
         return x + y
 
@@ -137,7 +159,8 @@ class ViP(nn.Module):
             b, tokens_cnt, C * p * p)
         pos = self.param("pos_emb", nn.initializers.zeros,
                          (1, tokens_cnt, emb))
-        tok = nn.Dense(emb, dtype=self.dtype, name="patch_emb")(patches)
+        tok = _torch_linear_dense(emb, C * p * p, self.dtype,
+                                  "patch_emb")(patches)
         tok = tok + pos
         cls = self.param("cls_token", nn.initializers.uniform(1.0),
                          (1, 1, emb))
@@ -152,7 +175,8 @@ class ViP(nn.Module):
         pred = jnp.broadcast_to(
             self.mean_params.astype(jnp.float32)[:self.out_dim],
             (b, self.out_dim))
-        head = nn.Dense(self.out_dim, name="head")
+        head = _torch_linear_dense(self.out_dim, emb + self.out_dim,
+                                   jnp.float32, "head")
         for _ in range(self.iteration):
             pred = pred + head(jnp.concatenate([feat, pred], axis=1))
         return pred, feat

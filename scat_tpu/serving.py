@@ -42,6 +42,8 @@ class HandPosePredictor:
     image_size: int = 224
     max_batch: int = 64
     mesh: Optional[object] = None  # jax.sharding.Mesh for data-parallel
+    # frozen variables (ViP's FAVOR+ projection); jit closure constant
+    constants: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_checkpoint(cls, opt: Options, image_size: int = 224,
@@ -56,9 +58,17 @@ class HandPosePredictor:
             variables = dict(variables)
             variables["params"] = ckpt_lib.restore_params_nonstrict(
                 opt.checkpoint_path_eval, variables["params"])
+            if variables.get("constants") and \
+                    not opt.checkpoint_path_eval.endswith(".pth"):
+                variables["constants"] = \
+                    ckpt_lib.restore_params_nonstrict(
+                        opt.checkpoint_path_eval,
+                        variables["constants"], key="constants",
+                        quiet=True)
         return cls(model=model, params=variables["params"],
                    batch_stats=variables.get("batch_stats", {}),
-                   image_size=image_size, mesh=mesh)
+                   image_size=image_size, mesh=mesh,
+                   constants=dict(variables.get("constants", {})))
 
     def __post_init__(self):
         model = self.model
@@ -88,9 +98,10 @@ class HandPosePredictor:
             # so at most two programs per bucket exist)
             if jnp.issubdtype(images.dtype, jnp.integer):
                 images = images.astype(jnp.float32) / 127.5 - 1.0
-            out = model.apply(
-                {"params": params, "batch_stats": batch_stats}, images,
-                train=False)
+            variables = {"params": params, "batch_stats": batch_stats}
+            if self.constants:
+                variables["constants"] = self.constants
+            out = model.apply(variables, images, train=False)
             pred = out[0] if isinstance(out, tuple) else out
             cam = pred[:, :3]
             j3d = pred[:, 3:66].reshape(-1, 21, 3)

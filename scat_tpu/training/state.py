@@ -25,10 +25,18 @@ class TrainState:
     opt_state: Any
     pl_mean: jax.Array
     rng: jax.Array
+    # Frozen (non-trained, non-optimized) variables — ViP's FAVOR+
+    # Gaussian projection lives in flax's "constants" collection
+    # (reference vision_performer.py: requires_grad=False buffer).  It
+    # rides in the state so checkpoints capture it: the projection is
+    # drawn from the *init* PRNG, and an evaluator re-initializing with
+    # a different seed would otherwise silently decode with the wrong
+    # feature map.
+    constants: Any = flax.struct.field(default_factory=dict)
 
     @classmethod
     def create(cls, params, batch_stats, tx: optax.GradientTransformation,
-               rng: jax.Array) -> "TrainState":
+               rng: jax.Array, constants: Any = None) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -36,4 +44,5 @@ class TrainState:
             opt_state=tx.init(params),
             pl_mean=jnp.zeros(()),
             rng=rng,
+            constants={} if constants is None else constants,
         )

@@ -52,6 +52,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
         def loss_fn(params):
             variables = {"params": params,
                          "batch_stats": state.batch_stats}
+            if state.constants:
+                variables["constants"] = state.constants
             outputs, mutated = model.apply(
                 variables, images, train=True,
                 rngs={"mask": mask_key, "dropout": dropout_key},
@@ -98,7 +100,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 def make_eval_step(model, pl_reg: bool = False,
                    pck_range=metrics_lib.DEFAULT_PCK_RANGE_MM,
-                   flat_compat: bool = True, return_attn: bool = False):
+                   flat_compat: bool = True, return_attn: bool = False,
+                   constants=None):
     """Fused eval step: forward -> projection -> PA-Procrustes -> metrics
     (reference eval.py:810-1027 minus visualization).
 
@@ -113,6 +116,8 @@ def make_eval_step(model, pl_reg: bool = False,
         if valid is None:
             valid = metrics_lib.valid_sample_mask(images)
         variables = {"params": params, "batch_stats": batch_stats}
+        if constants:
+            variables["constants"] = constants
         outputs = model.apply(variables, images, train=False)
         pred = outputs[0]
         _, j3d, j2d = predictions_to_keypoints(pred)

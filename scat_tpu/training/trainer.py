@@ -146,7 +146,8 @@ class Trainer:
             params, batch_stats = _load_pretrained_backbone(
                 opt.pretrained_resnet_pth, params, batch_stats)
         self.state = TrainState.create(
-            params, batch_stats, self.tx, jax.random.fold_in(rng, 3))
+            params, batch_stats, self.tx, jax.random.fold_in(rng, 3),
+            constants=self.constants)
 
         if opt.resume:
             restored = ckpt_lib.restore_state(opt.checkpoint_hand,
