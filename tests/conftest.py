@@ -10,8 +10,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual devices share ONE physical core here: a collective's
+    # rendezvous threads can all be starved for >30 s when another
+    # compile runs in the same process, and XLA's default terminate
+    # timeout hard-aborts the interpreter (observed killing the full
+    # suite inside test_parallel.py while the same test passes alone).
+    # Stretch the warn/terminate deadlines; correctness is unaffected.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
