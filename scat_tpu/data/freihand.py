@@ -168,8 +168,10 @@ class FreiHANDDataset:
         # thread, and eager jnp dispatch here (tiny ops + implicit
         # syncs) would contend with the training step on device (same
         # xp=np rule as stb.py's affine math)
+        # +1 decorrelates the jitter stream from epoch_order's shuffle
+        # stream (same offset convention as stb.py's augmentation rng)
         jitter_rng = np.random.RandomState(
-            (self.seed + EPOCH_STRIDE * epoch) % (2 ** 31))
+            (self.seed + 1 + EPOCH_STRIDE * epoch) % (2 ** 31))
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
             loaded = [self._load_image_scaled(i) for i in idxs]

@@ -50,15 +50,7 @@ def _stale() -> bool:
         return False
 
 
-def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
-        return _lib
-    if auto_build and (not os.path.exists(_SO_PATH) or _stale()):
-        _build()
-    if not os.path.exists(_SO_PATH):
-        return None
-    lib = ctypes.CDLL(_SO_PATH)
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.scat_decode_image.restype = ctypes.c_int
     lib.scat_decode_image.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -79,6 +71,34 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.scat_load_batch_aug.restype = ctypes.c_int
     lib.scat_load_batch_aug.argtypes = lib.scat_load_batch.argtypes + [
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    return lib
+
+
+def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if auto_build and (not os.path.exists(_SO_PATH) or _stale()):
+        _build()
+    if not os.path.exists(_SO_PATH):
+        return None
+    try:
+        lib = _bind(ctypes.CDLL(_SO_PATH))
+    except (OSError, AttributeError) as e:
+        # A pre-existing .so built from older source can lack a newer
+        # symbol (AttributeError from dlsym) even when the mtime check
+        # didn't trigger a rebuild. Rebuild once — dlopen reloads the
+        # replaced inode — then fall back to the PIL path, never crash.
+        lib = None
+        if auto_build and _build():
+            try:
+                lib = _bind(ctypes.CDLL(_SO_PATH))
+            except (OSError, AttributeError):
+                lib = None
+        if lib is None:
+            print(f"[native] stale/unloadable {_SO_PATH} ({e}); using "
+                  "the PIL pipeline")
+            return None
     _lib = lib
     return lib
 

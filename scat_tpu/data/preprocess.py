@@ -238,47 +238,62 @@ def color_jitter(key: jax.Array, images: jax.Array,
     """
     kb, kc, ks, kh, kp = jax.random.split(key, 5)
     B = images.shape[0]
+    keys = {"brightness": kb, "contrast": kc, "saturation": ks}
 
-    def factor(k, amt):
-        return jax.random.uniform(k, (B, 1, 1, 1),
+    def factor(name, amt):
+        return jax.random.uniform(keys[name], (B, 1, 1, 1),
                                   minval=max(0.0, 1.0 - amt),
                                   maxval=1.0 + amt)
+
+    def theta(amt):
+        return jax.random.uniform(kh, (B, 1, 1), minval=-amt,
+                                  maxval=amt) * 2 * jnp.pi
+
+    import numpy as _np
+    order = _np.asarray(jax.random.permutation(kp, 4))
+    return _jitter_apply(jnp, images, order, factor, theta,
+                         brightness, contrast, saturation, hue)
+
+
+def _jitter_apply(xp, images, order, factor, theta, brightness,
+                  contrast, saturation, hue):
+    """Shared torchvision-semantics jitter math for the device
+    (``xp=jnp``) and loader-thread (``xp=np``) paths; callers supply the
+    RNG draws (op ``order``, per-op ``factor(name, amt)``, hue
+    ``theta(amt)``) so each keeps its own stream."""
 
     def luma(x):
         return (0.299 * x[..., 0] + 0.587 * x[..., 1]
                 + 0.114 * x[..., 2])[..., None]
 
     def do_brightness(x):
-        return jnp.clip(x * factor(kb, brightness), 0.0, 1.0)
+        return xp.clip(x * factor("brightness", brightness), 0.0, 1.0)
 
     def do_contrast(x):
         mean = luma(x).mean(axis=(1, 2, 3), keepdims=True)
-        return jnp.clip((x - mean) * factor(kc, contrast) + mean,
-                        0.0, 1.0)
+        return xp.clip((x - mean) * factor("contrast", contrast) + mean,
+                       0.0, 1.0)
 
     def do_saturation(x):
         grey = luma(x)
-        return jnp.clip((x - grey) * factor(ks, saturation) + grey,
-                        0.0, 1.0)
+        return xp.clip((x - grey) * factor("saturation", saturation)
+                       + grey, 0.0, 1.0)
 
     def do_hue(x):
         if hue <= 0:
             return x
-        theta = jax.random.uniform(kh, (B, 1, 1),
-                                   minval=-hue, maxval=hue) * 2 * jnp.pi
+        th = theta(hue)
         y = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
         i = (0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2])
         q = (0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2])
-        ir = i * jnp.cos(theta) - q * jnp.sin(theta)
-        qr = i * jnp.sin(theta) + q * jnp.cos(theta)
+        ir = i * xp.cos(th) - q * xp.sin(th)
+        qr = i * xp.sin(th) + q * xp.cos(th)
         r = y + 0.956 * ir + 0.621 * qr
         g = y - 0.272 * ir - 0.647 * qr
         b = y - 1.106 * ir + 1.703 * qr
-        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+        return xp.clip(xp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
-    import numpy as _np
     ops = [do_brightness, do_contrast, do_saturation, do_hue]
-    order = _np.asarray(jax.random.permutation(kp, 4))
     x = (images + 1.0) * 0.5  # [0,1]
     for idx in order:
         x = ops[int(idx)](x)
@@ -289,49 +304,22 @@ def color_jitter_np(rng, images, brightness: float = 0.5,
                     contrast: float = 0.5, saturation: float = 0.5,
                     hue: float = 0.1):
     """Host-side ColorJitter: same torchvision semantics as
-    ``color_jitter`` but pure numpy, for loader/prefetch threads where
-    eager jnp dispatch would contend with the training step (the same
-    xp=np rule as stb.py's affine math).  ``rng`` is a
-    ``np.random.RandomState``; ``images`` [B,H,W,3] float in [-1,1]."""
+    ``color_jitter`` (one shared ``_jitter_apply`` core) but pure numpy,
+    for loader/prefetch threads where eager jnp dispatch would contend
+    with the training step (the same xp=np rule as stb.py's affine
+    math).  ``rng`` is a ``np.random.RandomState``; ``images``
+    [B,H,W,3] float in [-1,1]."""
     import numpy as np
     B = images.shape[0]
 
-    def factor(amt):
+    def factor(name, amt):
         return rng.uniform(max(0.0, 1.0 - amt), 1.0 + amt,
                            size=(B, 1, 1, 1)).astype(np.float32)
 
-    def luma(x):
-        return (0.299 * x[..., 0] + 0.587 * x[..., 1]
-                + 0.114 * x[..., 2])[..., None]
-
-    def do_brightness(x):
-        return np.clip(x * factor(brightness), 0.0, 1.0)
-
-    def do_contrast(x):
-        mean = luma(x).mean(axis=(1, 2, 3), keepdims=True)
-        return np.clip((x - mean) * factor(contrast) + mean, 0.0, 1.0)
-
-    def do_saturation(x):
-        grey = luma(x)
-        return np.clip((x - grey) * factor(saturation) + grey, 0.0, 1.0)
-
-    def do_hue(x):
-        if hue <= 0:
-            return x
-        theta = rng.uniform(-hue, hue, size=(B, 1, 1)).astype(
+    def theta(amt):
+        return rng.uniform(-amt, amt, size=(B, 1, 1)).astype(
             np.float32) * 2 * np.pi
-        y = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
-        i = (0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2])
-        q = (0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2])
-        ir = i * np.cos(theta) - q * np.sin(theta)
-        qr = i * np.sin(theta) + q * np.cos(theta)
-        r = y + 0.956 * ir + 0.621 * qr
-        g = y - 0.272 * ir - 0.647 * qr
-        b = y - 1.106 * ir + 1.703 * qr
-        return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
-    ops = [do_brightness, do_contrast, do_saturation, do_hue]
-    x = (images + 1.0) * 0.5  # [0,1]
-    for idx in rng.permutation(4):
-        x = ops[int(idx)](x)
-    return (x * 2.0 - 1.0).astype(images.dtype, copy=False)
+    out = _jitter_apply(np, images, rng.permutation(4), factor, theta,
+                        brightness, contrast, saturation, hue)
+    return out.astype(images.dtype, copy=False)

@@ -24,7 +24,7 @@ import numpy as np
 
 from scat_tpu.config import Options
 from scat_tpu.data import preprocess
-from scat_tpu.models import build_model
+from scat_tpu.models import build_model, check_eval_variables
 from scat_tpu.ops import metrics as metrics_lib
 from scat_tpu.ops.geometry import batch_orth_proj_idrot, project_2d
 from scat_tpu.utils import checkpoint as ckpt_lib
@@ -88,6 +88,7 @@ class DemoRunner:
                 variables.get("batch_stats", {}))
             variables["params"] = p_
             variables["batch_stats"] = bs_
+        check_eval_variables(opt, variables)
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
         if variables.get("constants"):  # ViP's frozen FAVOR+ projection
@@ -117,8 +118,16 @@ class DemoRunner:
                 "demo(eval_set=...) would be ignored")
         if loader is None:
             eval_set = eval_set or opt.eval_dataset
-            seq = {"MHP": "data_15_cam_1", "STB": "B1Counting",
-                   "ho3d": "GPMF11"}[eval_set]
+            demo_seqs = {"MHP": "data_15_cam_1", "STB": "B1Counting",
+                         "ho3d": "GPMF11"}
+            if eval_set not in demo_seqs:
+                # e.g. --eval_dataset frei is legal for the Evaluator but
+                # has no video demo sequence (reference eval.py:601-614)
+                raise ValueError(
+                    f"no demo sequence for eval_set={eval_set!r}; "
+                    f"choose one of {sorted(demo_seqs)} or inject a "
+                    "loader")
+            seq = demo_seqs[eval_set]
             if eval_set == "STB":
                 loader = stb_vibe_demo(seq, opt)
             elif eval_set == "ho3d":

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scat_tpu.config import Options
-from scat_tpu.models import build_model
+from scat_tpu.models import build_model, check_eval_variables
 from scat_tpu.ops import metrics as metrics_lib
 from scat_tpu.parallel import mesh as mesh_lib
 from scat_tpu.training import steps
@@ -89,6 +89,7 @@ class Evaluator:
                         opt.checkpoint_path_eval,
                         variables["constants"], key="constants",
                         quiet=True)
+        check_eval_variables(opt, variables)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.constants = variables.get("constants", {})

@@ -10,4 +10,7 @@ from scat_tpu.models import (  # noqa: F401
     transformer,
     vit,
 )
-from scat_tpu.models.factory import build_model  # noqa: F401
+from scat_tpu.models.factory import (  # noqa: F401
+    build_model,
+    check_eval_variables,
+)

@@ -80,8 +80,24 @@ def build_model(opt: Options, image_size: int = 224,
     elif opt.net == "ViP":
         model = ViP(mean_params=mean_j, image_pix=image_size,
                     iteration=opt.iteration,
-                    use_pallas=getattr(opt, "use_pallas_favor", False),
+                    use_pallas=opt.use_pallas_favor,
                     dtype=_dtype(opt))
     else:
         raise ValueError(f"unknown --net {opt.net!r}")
     return model, mean
+
+
+def check_eval_variables(opt: Options, variables) -> None:
+    """Loud guard for user-injected eval variables.
+
+    ViP's frozen FAVOR+ projection lives in the flax ``constants``
+    collection (the torch reference keeps it as a module buffer,
+    vision_performer.py:19-32); ``apply()`` without it dies deep inside
+    flax with an opaque scope error at the first batch.  Catch it at
+    construction instead."""
+    if opt.net == "ViP" and not variables.get("constants"):
+        raise ValueError(
+            "net='ViP' needs the 'constants' collection (frozen FAVOR+ "
+            "projection) in the injected variables; pass "
+            "{'params': ..., 'batch_stats': ..., 'constants': "
+            "state.constants} from the TrainState or import_torch_vip")

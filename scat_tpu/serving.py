@@ -72,6 +72,13 @@ class HandPosePredictor:
 
     def __post_init__(self):
         model = self.model
+        from scat_tpu.models.performer import ViP
+        if isinstance(model, ViP) and not self.constants:
+            raise ValueError(
+                "ViP predictors need constants= (the frozen FAVOR+ "
+                "projection from the TrainState / import_torch_vip); "
+                "apply() without it fails inside flax at the first "
+                "request")
         if self.mesh is not None:
             # data-parallel serving: params live replicated on the mesh,
             # each request chunk is sharded over the data axis.  XLA

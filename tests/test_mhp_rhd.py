@@ -241,3 +241,29 @@ def test_rhd_missing_tree_is_empty(tmp_path):
     opt.data_dir = str(tmp_path)
     ds = get_loader_RHD("training", 4, opt)
     assert len(ds) == 0
+
+
+def test_demo_unknown_eval_set_fails_loudly(tmp_path):
+    """--eval_dataset frei is legal for the Evaluator but has no demo
+    sequence (reference eval.py:601-614); demo() must say so instead of
+    dying with a bare KeyError."""
+    import jax
+    import jax.numpy as jnp
+    from scat_tpu.config import Options
+    from scat_tpu.evaluation.demo import DemoRunner
+    from scat_tpu.models import build_model
+
+    opt = Options()
+    opt.net = "reg_transformer"
+    opt.vit_heads = 2
+    opt.compute_dtype = "float32"
+    opt.eval_dataset = "frei"
+    opt.result_dir = str(tmp_path / "out")
+    model, _ = build_model(opt, 64)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1),
+         "dropout": jax.random.key(2)}, sample, train=False)
+    runner = DemoRunner(opt, variables=variables, image_size=64)
+    with pytest.raises(ValueError, match="no demo sequence"):
+        runner.demo()

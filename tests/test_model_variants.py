@@ -165,3 +165,20 @@ def test_yunqian_transformer(rng):
     params = model.init(jax.random.key(0), x)
     out = model.apply(params, x)
     assert out.shape == (2, 10, 61)
+
+
+def test_check_eval_variables_guards_vip_constants():
+    """Injected eval variables without ViP's frozen FAVOR+ 'constants'
+    collection must fail loudly at construction, not deep inside flax
+    at the first batch."""
+    from scat_tpu.config import Options
+    from scat_tpu.models import check_eval_variables
+    opt = Options()
+    opt.net = "ViP"
+    with pytest.raises(ValueError, match="constants"):
+        check_eval_variables(opt, {"params": {}})
+    with pytest.raises(ValueError, match="constants"):
+        check_eval_variables(opt, {"params": {}, "constants": {}})
+    check_eval_variables(opt, {"params": {}, "constants": {"w": 1}})
+    opt.net = "reg_transformer"   # non-ViP nets don't need the guard
+    check_eval_variables(opt, {"params": {}})

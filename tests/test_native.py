@@ -153,3 +153,19 @@ def test_stb_native_augmented_matches_device_path(tmp_path, rng,
     # the warp then mixes 4 neighbours -> ~2/255 worst case
     np.testing.assert_allclose(np.asarray(b_n["image"]),
                                np.asarray(b_d["image"]), atol=2e-2)
+
+
+def test_stale_library_falls_back(tmp_path, monkeypatch, capsys):
+    """A pre-existing .so built from older source (missing a newer
+    symbol) must demote to the PIL pipeline, not crash available()
+    with AttributeError."""
+    import subprocess
+    stale = str(tmp_path / "libstale.so")
+    src = tmp_path / "empty.cpp"
+    src.write_text("extern \"C\" int scat_unrelated() { return 0; }\n")
+    subprocess.run(["g++", "-shared", "-fPIC", str(src), "-o", stale],
+                   check=True)
+    monkeypatch.setattr(nl, "_SO_PATH", stale)
+    monkeypatch.setattr(nl, "_lib", None)
+    assert nl.load_library(auto_build=False) is None
+    assert "PIL pipeline" in capsys.readouterr().out

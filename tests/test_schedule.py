@@ -79,3 +79,33 @@ def test_freeze_backbone_zeroes_encoder_updates(rng):
     np.testing.assert_array_equal(
         np.asarray(updates["main_encoder"]["conv1"]["kernel"]), 0.0)
     assert np.abs(np.asarray(updates["regressor"]["kernel"])).min() > 0
+
+
+def test_jitter_core_identical_across_backends(rng):
+    """color_jitter (device) and color_jitter_np (loader thread) share
+    one _jitter_apply core; with the SAME injected draws the two array
+    backends must agree to float tolerance."""
+    import jax.numpy as jnp
+    from scat_tpu.data.preprocess import _jitter_apply
+
+    x = (rng.rand(2, 8, 8, 3) * 2 - 1).astype(np.float32)
+    factors = {"brightness": 1.3, "contrast": 0.7, "saturation": 1.1}
+    order = [2, 0, 3, 1]
+
+    def np_factor(name, amt):
+        return np.full((2, 1, 1, 1), factors[name], np.float32)
+
+    def np_theta(amt):
+        return np.full((2, 1, 1), 0.37, np.float32)
+
+    def j_factor(name, amt):
+        return jnp.full((2, 1, 1, 1), factors[name], jnp.float32)
+
+    def j_theta(amt):
+        return jnp.full((2, 1, 1), 0.37, jnp.float32)
+
+    a = _jitter_apply(np, x, order, np_factor, np_theta,
+                      0.5, 0.5, 0.5, 0.1)
+    b = _jitter_apply(jnp, jnp.asarray(x), order, j_factor, j_theta,
+                      0.5, 0.5, 0.5, 0.1)
+    np.testing.assert_allclose(a, np.asarray(b), atol=1e-5)
