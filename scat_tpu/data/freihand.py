@@ -75,6 +75,24 @@ def rotate_pose(pose: np.ndarray) -> np.ndarray:
     return out
 
 
+def rotate_pose_param(pose: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate the global-orient rotvec about z by (360 - angle) degrees
+    (reference dataset/rotation.py:83-91, ``rotate_pose_param``).
+
+    The reference routes this through a rotvec->quaternion->rotvec
+    roundtrip (rotation.py:61-79); composing the two scipy Rotations
+    directly is the same map, since both ends use scipy's canonical
+    rotvec branch.  Note the reference *imports* this into
+    load_test_dataset.py:20 but never calls it — provided for API-surface
+    parity with the rotation augmentation family.
+    """
+    out = pose.copy()
+    rz = ScipyRotation.from_rotvec(
+        [0.0, 0.0, np.deg2rad(360.0 - angle_deg)])
+    out[:3] = (rz * ScipyRotation.from_rotvec(pose[:3])).as_rotvec()
+    return out
+
+
 def pack_label_166(pose48: np.ndarray, shape10: np.ndarray,
                    joints_3d: np.ndarray, joints_2d: np.ndarray,
                    cam3: Optional[np.ndarray] = None) -> np.ndarray:

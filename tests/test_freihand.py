@@ -97,3 +97,46 @@ def test_get_loader_frei_factory(tmp_path):
     ds = freihand.get_loader_frei("training", 4, opt)
     assert isinstance(ds, freihand.FreiHANDDataset)
     assert ds.data_dir == str(root)
+
+
+def test_rotate_pose_param_quaternion_reexec():
+    """float64 re-execution of reference rotation.py:61-91: rotvec ->
+    [w,x,y,z] quaternion, Hamilton-product with the z-axis quaternion of
+    angle (360-angle)deg, back to rotvec via the canonical branch."""
+    rng = np.random.RandomState(3)
+
+    def quat_from_rotvec(v):
+        th = np.linalg.norm(v)
+        if th < 1e-12:
+            return np.array([1.0, 0, 0, 0])
+        ax = v / th
+        return np.concatenate([[np.cos(th / 2)], np.sin(th / 2) * ax])
+
+    def hamilton(q1, q2):
+        w1, x1, y1, z1 = q1
+        w2, x2, y2, z2 = q2
+        return np.array([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+    def rotvec_from_quat(q):
+        if q[0] < 0:
+            q = -q  # canonical branch (theta <= pi), scipy's convention
+        s = np.linalg.norm(q[1:])
+        if s < 1e-12:
+            return np.zeros(3)
+        th = 2.0 * np.arctan2(s, q[0])
+        return q[1:] / s * th
+
+    for angle in (0.0, 17.5, 90.0, 180.0, 273.0, 360.0):
+        pose = rng.randn(48).astype(np.float64) * 0.7
+        got = freihand.rotate_pose_param(pose.copy(), angle)
+        # oracle: q1 (z-axis, (360-angle) rad-converted) * q(pose[:3])
+        a = np.pi * (360.0 - angle) / 180.0
+        q1 = quat_from_rotvec(np.array([0.0, 0.0, a]))
+        want3 = rotvec_from_quat(hamilton(q1, quat_from_rotvec(pose[:3])))
+        np.testing.assert_allclose(got[:3], want3, rtol=1e-9, atol=1e-9)
+        # the hand-pose body must pass through untouched
+        np.testing.assert_array_equal(got[3:], pose[3:])

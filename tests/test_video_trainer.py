@@ -58,3 +58,24 @@ def test_video_trainer_epoch(rng):
     state = trainer.train(ds, epochs=1)
     assert state is not None
     assert int(state.step) == len(ds)
+
+
+def test_view_as_windows_brute_force():
+    """Direct re-exec of the vendored skimage routine
+    (reference dataset/utils.py:6-156) against an index loop, 1-D and
+    2-D, int and tuple steps."""
+    from scat_tpu.data.testset import view_as_windows
+    a = np.arange(17)
+    for step in (1, 2, 3):
+        w = view_as_windows(a, (5,), step=step)
+        n = (17 - 5) // step + 1
+        assert w.shape == (n, 5)
+        for i in range(n):
+            np.testing.assert_array_equal(w[i], a[i * step:i * step + 5])
+    m = np.arange(6 * 7).reshape(6, 7)
+    w = view_as_windows(m, (2, 3), step=(2, 2))
+    assert w.shape == (3, 3, 2, 3)
+    for i in range(3):
+        for j in range(3):
+            np.testing.assert_array_equal(
+                w[i, j], m[2 * i:2 * i + 2, 2 * j:2 * j + 3])
