@@ -138,6 +138,9 @@ class Options:
     compat_pl_ema_reset: bool = True  # reproduce train.py:180-182 EMA reset
     compat_pck_flat: bool = True      # reproduce eval.py:311-312 dist.flat
     donate_state: bool = True
+    # "replicated" (plain DP) | "fsdp" (ZeRO-3 style: params + Adam
+    # moments shard over the data axis; composes with a model axis)
+    param_sharding: str = "replicated"
 
     # Derived / runtime-only
     def mesh_axes(self) -> Tuple[Tuple[str, int], ...]:

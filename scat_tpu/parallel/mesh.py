@@ -122,6 +122,62 @@ def jit_train_step(train_step, mesh: Mesh, donate_state: bool = True):
     )
 
 
+def state_shardings(state):
+    """The pytree of actual placements of an already-placed state."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, state)
+
+
+def jit_train_step_sharded(train_step, mesh: Mesh, state,
+                           donate_state: bool = True):
+    """Jit a step pinning the state to its CURRENT placement (e.g. an
+    FSDP-sharded state from ``sharding_rules.shard_params_fsdp``) instead
+    of forcing replication.  GSPMD turns the per-param placements into
+    all-gather-before-use / reduce-scatter-of-grad; stats come out
+    replicated."""
+    st_sh = state_shardings(state)
+    return jax.jit(
+        train_step,
+        in_shardings=(st_sh, batch_sharding(mesh)),
+        out_shardings=(st_sh, replicated(mesh)),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def fsdp_state(mesh: Mesh, state):
+    """Re-place a train state FSDP-style: params shard over ``data``
+    per ``sharding_rules.make_fsdp_shardings``; the Adam moments that
+    mirror them take their param's placement (ZeRO); everything else
+    (step, BN stats, PL-EMA, PRNG, schedule counts) replicates."""
+    from scat_tpu.parallel import sharding_rules
+
+    params_sh = sharding_rules.make_fsdp_shardings(state.params, mesh)
+    rep = replicated(mesh)
+    # shape+dtype -> param sharding, for the optimizer moments (optax
+    # moments are param-shaped; scalars/counts fall through to rep)
+    lut = {}
+    for p, sh in zip(jax.tree_util.tree_leaves(state.params),
+                     jax.tree_util.tree_leaves(params_sh)):
+        lut.setdefault((p.shape, p.dtype), sh)
+
+    def place_moment(x):
+        key = (getattr(x, "shape", None), getattr(x, "dtype", None))
+        return jax.device_put(x, lut.get(key, rep))
+
+    def place_rep(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), tree)
+
+    return state.replace(
+        params=sharding_rules.shard_params_fsdp(state.params, mesh),
+        opt_state=jax.tree_util.tree_map(place_moment, state.opt_state),
+        batch_stats=place_rep(state.batch_stats),
+        constants=place_rep(state.constants),
+        step=jax.device_put(state.step, rep),
+        pl_mean=jax.device_put(state.pl_mean, rep),
+        rng=jax.device_put(state.rng, rep),
+    )
+
+
 def jit_eval_step(eval_step, mesh: Mesh):
     state_sh = replicated(mesh)
     batch_sh = batch_sharding(mesh)

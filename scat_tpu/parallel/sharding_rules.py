@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from scat_tpu.parallel.mesh import MODEL_AXIS
+from scat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # module-name markers for the Megatron column/row pairs in the pyramid
 # transformer (models/transformer.py: Attention's to_qkv/to_out; the
@@ -89,4 +89,61 @@ def make_param_shardings(params: Any, mesh: Mesh,
 def shard_params(params: Any, mesh: Mesh, min_elems: int = 1 << 16):
     """Place parameters onto the mesh under the TP rules."""
     shardings = make_param_shardings(params, mesh, min_elems)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------
+# FSDP (ZeRO-3 style): parameters AND optimizer moments sharded over the
+# ``data`` axis; GSPMD all-gathers each weight just before use and
+# reduce-scatters its gradient, so per-chip memory for params+Adam drops
+# by ~the data-axis size while the training math stays bit-identical in
+# structure to plain DP (same logical batch, same global BN).  The
+# reference has no distributed training at all (SURVEY.md §2.10); this
+# is the TPU-native counterpart of torch FSDP / ZeRO.
+# ---------------------------------------------------------------------
+
+def fsdp_partition_spec(path, leaf, data_size: int, model_size: int = 1,
+                        min_elems: int = 1 << 14) -> P:
+    """Spec sharding the largest free axis over ``data``.
+
+    Starts from the TP spec (when the mesh has a model axis) and adds
+    the ``data`` axis on the largest remaining dimension that divides,
+    yielding hybrid FSDP+TP on 2-D meshes.  Small leaves (biases, norm
+    scales) stay replicated — gathering them costs more than they hold.
+    """
+    shape = np.shape(leaf)
+    base = (param_partition_spec(path, leaf, model_size)
+            if model_size > 1 else P(*([None] * len(shape))))
+    spec = list(base) + [None] * (len(shape) - len(base))
+    if np.prod(shape, dtype=np.int64) < min_elems:
+        return P(*spec)
+    free = [i for i in range(len(shape)) if spec[i] is None]
+    for i in sorted(free, key=lambda i: -shape[i]):
+        if shape[i] % data_size == 0:
+            spec[i] = DATA_AXIS
+            break
+    return P(*spec)
+
+
+def make_fsdp_shardings(params: Any, mesh: Mesh,
+                        min_elems: int = 1 << 14):
+    """Pytree of NamedShardings placing ``params`` FSDP-style."""
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+    if data_size == 1:
+        return make_param_shardings(params, mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, fsdp_partition_spec(path, leaf, data_size, model_size,
+                                      min_elems)),
+        params)
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh, min_elems: int = 1 << 14):
+    """Place parameters onto the mesh FSDP-sharded over ``data``.
+
+    Optimizer state created from these arrays (``optax``'s
+    ``zeros_like`` moments) inherits the same placement, so Adam's
+    mu/nu shard along with the weights (ZeRO)."""
+    shardings = make_fsdp_shardings(params, mesh, min_elems)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

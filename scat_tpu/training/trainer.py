@@ -158,12 +158,24 @@ class Trainer:
             else:
                 self.success_load = False
 
-        self.state = mesh_lib.replicate_state(self.mesh, self.state)
         raw_step = steps.make_train_step(
             self.model, self.tx, self.l_weight_3d, self.l_weight_2d,
             pl_reg=self.pl, ema_reset_compat=opt.compat_pl_ema_reset)
-        self.train_step = mesh_lib.jit_train_step(
-            raw_step, self.mesh, donate_state=opt.donate_state)
+        if opt.param_sharding not in ("replicated", "fsdp"):
+            raise ValueError(
+                f"--param_sharding {opt.param_sharding!r}: expected "
+                "'replicated' or 'fsdp'")
+        if opt.param_sharding == "fsdp":
+            # ZeRO-3 style: params + Adam moments shard over ``data``;
+            # GSPMD gathers weights at use and reduce-scatters grads
+            self.state = mesh_lib.fsdp_state(self.mesh, self.state)
+            self.train_step = mesh_lib.jit_train_step_sharded(
+                raw_step, self.mesh, self.state,
+                donate_state=opt.donate_state)
+        else:
+            self.state = mesh_lib.replicate_state(self.mesh, self.state)
+            self.train_step = mesh_lib.jit_train_step(
+                raw_step, self.mesh, donate_state=opt.donate_state)
 
     def _debug_visualize(self, batch, stats):
         """Every-100-steps GT/pred debug grid (reference train.py:211-222):
