@@ -185,3 +185,53 @@ def test_fsdp_train_step_matches_replicated():
         for a, b in zip(jax.tree_util.tree_leaves(s_fsdp2.params),
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_hybrid_fsdp_tp_step():
+    """FSDP over ``data`` composed with TP over ``model`` on a 4x2
+    mesh: specs carry both axes, the step runs, loss matches the
+    replicated step."""
+    from scat_tpu import assets
+    from scat_tpu.data.synthetic import synth_batch
+    from scat_tpu.models.hand_net import EncoderTransformer
+    from scat_tpu.parallel import sharding_rules
+    from scat_tpu.training import schedule, steps
+    from scat_tpu.training.state import TrainState
+
+    mean = assets.load_mean_params()
+    model = EncoderTransformer(mean_params=jnp.asarray(mean), iteration=1,
+                               heads=2, depth=3, backbone="resnet18",
+                               mask_rate=0.0, token_dim=16)
+    batch = synth_batch(jax.random.key(0), 8, image_size=32,
+                        mean_params=mean)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        batch["image"])
+    tx = schedule.make_optimizer(1e-3, steps_per_epoch=1)
+
+    def fresh_state():
+        return TrainState.create(variables["params"],
+                                 variables["batch_stats"], tx,
+                                 jax.random.key(2))
+
+    raw = steps.make_train_step(model, tx, 1e5, 10.0)
+    s1, stats1 = jax.jit(raw)(fresh_state(), batch)
+
+    mesh = mesh_lib.make_mesh((("data", 4), ("model", 2)))
+    shardings = sharding_rules.make_fsdp_shardings(
+        fresh_state().params, mesh)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    assert any("data" in s and "model" in s for s in specs), (
+        "no param carries both the data and model axes")
+    s_h = mesh_lib.fsdp_state(mesh, fresh_state())
+    step_h = mesh_lib.jit_train_step_sharded(raw, mesh, s_h,
+                                             donate_state=False)
+    b_h = mesh_lib.shard_batch(mesh, batch)
+    s_h, stats_h = step_h(s_h, b_h)
+    np.testing.assert_allclose(float(stats1["loss"]),
+                               float(stats_h["loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_h.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
