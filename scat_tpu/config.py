@@ -141,6 +141,8 @@ class Options:
     # "replicated" (plain DP) | "fsdp" (ZeRO-3 style: params + Adam
     # moments shard over the data axis; composes with a model axis)
     param_sharding: str = "replicated"
+    # destination for `python -m scat_tpu.export` AOT serving artifacts
+    export_dir: str = "./export/scat"
 
     # Derived / runtime-only
     def mesh_axes(self) -> Tuple[Tuple[str, int], ...]:

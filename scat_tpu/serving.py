@@ -34,6 +34,66 @@ from scat_tpu.parallel import mesh as mesh_lib
 from scat_tpu.utils import checkpoint as ckpt_lib
 
 
+def check_image_dtype(x: np.ndarray) -> None:
+    """Enforce the request dtype contract: uint8 [0,255] or float [-1,1].
+
+    The on-device ``/127.5 - 1`` normalization is only correct for
+    uint8; any other integer dtype would be silently misscaled."""
+    if (np.issubdtype(x.dtype, np.integer) or x.dtype == np.bool_) \
+            and x.dtype != np.uint8:
+        raise ValueError(
+            f"integer inputs must be uint8 [0,255], got {x.dtype}; "
+            "pass float crops already normalized to [-1,1] instead")
+
+
+def pick_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def run_bucketed(forward, params, batch_stats, x: np.ndarray, buckets,
+                 put, window: int = 4) -> Dict[str, np.ndarray]:
+    """Stream a request through ``forward`` in bucket-sized chunks.
+
+    Pads the request so every chunk is exactly a bucket size: full
+    max-bucket chunks plus one bucketed remainder — the compiled-program
+    count stays bounded by the bucket set even for oversized requests.
+    A bounded in-flight window keeps a few chunks pipelined so chunk
+    k+1's upload/compute overlaps chunk k's D2H, but fetches as it goes:
+    an unbounded launch list would hold EVERY request chunk resident in
+    HBM at once (a 50k-crop request is ~7.5 GB)."""
+    n = x.shape[0]
+    big = buckets[-1]
+    rem = n % big
+    total = (n - rem) + (pick_bucket(rem, buckets) if rem else 0)
+    if total < max(n, 1):
+        total = pick_bucket(n, buckets)
+    if n < total:
+        x = np.concatenate(
+            [x, np.zeros((total - n,) + x.shape[1:], x.dtype)])
+    starts = list(range(0, x.shape[0], big))
+    inflight: list = []
+    cams, j3ds, j2ds = [], [], []
+
+    def drain_one():
+        cam, j3d, j2d = inflight.pop(0)
+        cams.append(np.asarray(cam))
+        j3ds.append(np.asarray(j3d))
+        j2ds.append(np.asarray(j2d))
+
+    for s in starts:
+        if len(inflight) >= window:
+            drain_one()
+        inflight.append(forward(params, batch_stats, put(x[s:s + big])))
+    while inflight:
+        drain_one()
+    return {"camera": np.concatenate(cams)[:n],
+            "joints_3d": np.concatenate(j3ds)[:n],
+            "joints_2d": np.concatenate(j2ds)[:n]}
+
+
 @dataclasses.dataclass
 class HandPosePredictor:
     model: object
@@ -125,10 +185,7 @@ class HandPosePredictor:
             self._buckets.append(self._buckets[-1] * 2)
 
     def _bucket(self, n: int) -> int:
-        for b in self._buckets:
-            if n <= b:
-                return b
-        return self._buckets[-1]
+        return pick_bucket(n, self._buckets)
 
     def warmup(self, batch_size: Optional[int] = None) -> None:
         """Compile ahead of serving traffic."""
@@ -146,55 +203,13 @@ class HandPosePredictor:
         ``camera [N,3]``, ``joints_3d [N,21,3]`` (root-centered, meters),
         ``joints_2d [N,21,2]`` (crop pixels)."""
         x = np.asarray(images)
-        if (np.issubdtype(x.dtype, np.integer) or x.dtype == np.bool_) \
-                and x.dtype != np.uint8:
-            # the on-device /127.5-1 normalization is only correct for
-            # the documented uint8 [0,255] contract; any other integer
-            # dtype would be silently misscaled
-            raise ValueError(
-                f"integer inputs must be uint8 [0,255], got {x.dtype}; "
-                "pass float crops already normalized to [-1,1] instead")
-        n = x.shape[0]
+        check_image_dtype(x)
         # uint8 stays uint8: device-side normalization (see _forward)
         # moves 4x fewer bytes over the host->device link
-        # pad the request so every chunk is exactly a bucket size: full
-        # max_batch chunks plus one bucketed remainder — program count
-        # stays bounded by the bucket set even for oversized requests
-        big = self._buckets[-1]
-        rem = n % big
-        total = (n - rem) + (self._bucket(rem) if rem else 0)
-        if total < max(n, 1):
-            total = self._bucket(n)
-        if n < total:
-            x = np.concatenate(
-                [x, np.zeros((total - n,) + x.shape[1:], x.dtype)])
-        # bounded-window async pipeline: keep a few chunks in flight so
-        # chunk k+1's upload/compute overlaps chunk k's D2H, but fetch
-        # as we go — an unbounded launch list would hold EVERY request
-        # chunk resident in HBM at once (a 50k-crop request is ~7.5 GB)
-        window = 4
-        starts = list(range(0, x.shape[0], big))
-        inflight: list = []
-        cams, j3ds, j2ds = [], [], []
-
-        def drain_one():
-            cam, j3d, j2d = inflight.pop(0)
-            cams.append(np.asarray(cam))
-            j3ds.append(np.asarray(j3d))
-            j2ds.append(np.asarray(j2d))
-
         put = (jnp.asarray if self._batch_sh is None
                else lambda a: jax.device_put(a, self._batch_sh))
-        for s in starts:
-            if len(inflight) >= window:
-                drain_one()
-            inflight.append(self._forward(self.params, self.batch_stats,
-                                          put(x[s:s + big])))
-        while inflight:
-            drain_one()
-        return {"camera": np.concatenate(cams)[:n],
-                "joints_3d": np.concatenate(j3ds)[:n],
-                "joints_2d": np.concatenate(j2ds)[:n]}
+        return run_bucketed(self._forward, self.params,
+                            self.batch_stats, x, self._buckets, put)
 
     def predict_from_frames(self, frames: np.ndarray,
                             joints_2d_hint: np.ndarray

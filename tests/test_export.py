@@ -1,0 +1,68 @@
+"""AOT export roundtrip: the StableHLO artifact must serve exactly what
+the live predictor serves, without model code or a checkpoint."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scat_tpu.config import Options
+from scat_tpu.export import (_flatten, _unflatten, export_predictor,
+                             load_artifact)
+from scat_tpu.serving import HandPosePredictor
+
+IMG = 64
+
+
+def _predictor():
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  checkpoint_path_eval="/nonexistent")
+    return HandPosePredictor.from_checkpoint(opt, image_size=IMG)
+
+
+def test_flatten_roundtrip_bf16():
+    tree = {"a": {"b": jnp.ones((2, 3), jnp.bfloat16),
+                  "c": jnp.zeros((4,), jnp.float32)},
+            "d": jnp.arange(5)}
+    flat = _flatten(tree, "params")
+    back = _unflatten(flat, "params")
+    assert back["a"]["b"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back["d"]),
+                                  np.asarray(tree["d"]))
+
+
+@pytest.mark.slow
+def test_export_roundtrip_matches_live(tmp_path, rng):
+    p = _predictor()
+    out_dir = str(tmp_path / "artifact")
+    export_predictor(p, out_dir)
+    loaded = load_artifact(out_dir)
+    assert loaded.image_size == IMG
+    imgs = (rng.rand(5, IMG, IMG, 3) * 255).astype(np.uint8)
+    live = p.predict(imgs)
+    aot = loaded.predict(imgs)
+    for key in ("camera", "joints_3d", "joints_2d"):
+        np.testing.assert_allclose(aot[key], live[key], atol=1e-5)
+    # float requests ride the float32 program
+    f = imgs.astype(np.float32) / 127.5 - 1.0
+    aot_f = loaded.predict(f)
+    np.testing.assert_allclose(aot_f["joints_3d"], live["joints_3d"],
+                               atol=1e-5)
+    # symbolic batch: a size outside the warmed set still serves
+    one = loaded.predict(imgs[:1])
+    np.testing.assert_allclose(one["joints_3d"][0], live["joints_3d"][0],
+                               atol=1e-5)
+    # contract violations fail loudly
+    with pytest.raises(ValueError, match="uint8"):
+        loaded.predict(imgs.astype(np.int32))
+
+
+@pytest.mark.slow
+def test_export_refuses_mesh_mode(tmp_path):
+    from scat_tpu.parallel import mesh as mesh_lib
+    p = _predictor()
+    sharded = HandPosePredictor(
+        model=p.model, params=p.params, batch_stats=p.batch_stats,
+        image_size=IMG, mesh=mesh_lib.make_mesh())
+    with pytest.raises(ValueError, match="single-chip"):
+        export_predictor(sharded, str(tmp_path / "x"))
