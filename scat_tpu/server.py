@@ -1,0 +1,150 @@
+"""Minimal production HTTP front end for the serving engine.
+
+Wraps any predictor with a ``predict(images) -> dict`` contract —
+``serving.HandPosePredictor`` (live checkpoint, optional chip mesh) or
+``export.ExportedPredictor`` (AOT StableHLO artifact) — in a
+stdlib-only threaded HTTP server.  The reference has no serving surface
+at all (its closest analogue writes PNGs from a local loop,
+``/root/reference/test.py:272-439``).
+
+Endpoints:
+  GET  /healthz   liveness + model metadata (also warms on first call)
+  POST /predict   body = raw crop bytes, headers:
+                    X-Shape: N,H,W,3         (comma-separated ints)
+                    X-Dtype: uint8 | float32 (uint8 [0,255] or
+                                              float32 [-1,1])
+                  response: JSON {camera, joints_3d, joints_2d} lists
+
+Raw-bytes-in / JSON-out keeps the hot direction cheap: a bs-32 uint8
+request is 4.8 MB of body (vs ~25 MB as JSON) while the response is
+~13 KB.  Requests are serialized through a lock — the predictor already
+pipelines chunks internally (``serving.run_bucketed``), and one device
+queue ordering beats interleaved dispatch from server threads.
+
+CLI:
+  python -m scat_tpu.server --server_port 8080 \
+      --checkpoint_path_eval .../hand_net_final.pth     # live predictor
+  python -m scat_tpu.server --server_port 8080 \
+      --serve_artifact ./export/scat                    # AOT artifact
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_ALLOWED_DTYPES = ("uint8", "float32")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server:
+    predictor = None
+    lock: threading.Lock = None
+    model_info: dict = None
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._send(404, {"error": f"no route {self.path}"})
+        self._send(200, {"status": "ok", **self.model_info})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            return self._send(404, {"error": f"no route {self.path}"})
+        try:
+            shape = tuple(int(s) for s in
+                          self.headers.get("X-Shape", "").split(","))
+            dtype = self.headers.get("X-Dtype", "uint8")
+            if dtype not in _ALLOWED_DTYPES:
+                raise ValueError(f"X-Dtype must be one of "
+                                 f"{_ALLOWED_DTYPES}, got {dtype!r}")
+            size = self.model_info["image_size"]
+            if len(shape) != 4 or shape[1:] != (size, size, 3) \
+                    or shape[0] < 1:
+                raise ValueError(
+                    f"X-Shape must be N,{size},{size},3 with N>=1, "
+                    f"got {shape}")
+            n_bytes = int(self.headers.get("Content-Length", 0))
+            expected = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            if n_bytes != expected:
+                raise ValueError(
+                    f"body is {n_bytes} bytes, X-Shape/X-Dtype imply "
+                    f"{expected}")
+            images = np.frombuffer(self.rfile.read(n_bytes),
+                                   dtype).reshape(shape)
+        except ValueError as e:
+            return self._send(400, {"error": str(e)})
+        with self.lock:
+            out = self.predictor.predict(images)
+        self._send(200, {k: np.asarray(v).tolist()
+                         for k, v in out.items()})
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
+                model_info: dict = None) -> ThreadingHTTPServer:
+    """Build (not start) the server; caller runs ``serve_forever()``.
+
+    ``predictor``: anything with ``predict(images) -> dict`` and an
+    ``image_size`` attribute."""
+    handler = type("Handler", (_Handler,), {
+        "predictor": predictor,
+        "lock": threading.Lock(),
+        "model_info": {"image_size": predictor.image_size,
+                       **(model_info or {})},
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None) -> None:
+    import argparse
+    import sys
+
+    from scat_tpu.config import BaseOptions
+
+    # server-only flags peel off first; the rest is the standard surface
+    peel = argparse.ArgumentParser(add_help=False)
+    peel.add_argument("--server_port", type=int, default=8080)
+    peel.add_argument("--server_host", default="0.0.0.0")
+    peel.add_argument("--serve_artifact", default="",
+                      help="serve an AOT export dir instead of a live "
+                           "checkpoint")
+    server_opt, rest = peel.parse_known_args(
+        sys.argv[1:] if argv is None else argv)
+
+    if server_opt.serve_artifact:
+        from scat_tpu.export import load_artifact
+        predictor = load_artifact(server_opt.serve_artifact)
+        info = {"source": f"artifact:{server_opt.serve_artifact}"}
+    else:
+        opt = BaseOptions().parse(rest)
+        from scat_tpu.serving import HandPosePredictor
+        predictor = HandPosePredictor.from_checkpoint(opt)
+        info = {"source": f"checkpoint:{opt.checkpoint_path_eval}",
+                "net": opt.net}
+
+    httpd = make_server(predictor, server_opt.server_host,
+                        server_opt.server_port, info)
+    # compile the bucket set before accepting traffic
+    if hasattr(predictor, "warmup"):
+        predictor.warmup()
+    host, port = httpd.server_address[:2]
+    print(f"serving on http://{host}:{port} "
+          f"(POST /predict, GET /healthz)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""HTTP serving front end: raw-bytes requests, JSON responses, loud
+4xx on contract violations."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from scat_tpu.config import Options
+from scat_tpu.serving import HandPosePredictor
+from scat_tpu.server import make_server
+
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def served():
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  checkpoint_path_eval="/nonexistent")
+    predictor = HandPosePredictor.from_checkpoint(opt, image_size=IMG)
+    httpd = make_server(predictor, port=0)  # ephemeral port
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield predictor, httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _post(port, body, shape, dtype):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/predict", body=body, headers={
+        "X-Shape": ",".join(str(s) for s in shape), "X-Dtype": dtype})
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+@pytest.mark.slow
+def test_predict_roundtrip(served, rng):
+    predictor, port = served
+    imgs = (rng.rand(3, IMG, IMG, 3) * 255).astype(np.uint8)
+    status, out = _post(port, imgs.tobytes(), imgs.shape, "uint8")
+    assert status == 200
+    local = predictor.predict(imgs)
+    np.testing.assert_allclose(np.asarray(out["joints_3d"]),
+                               local["joints_3d"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["camera"]),
+                               local["camera"], atol=1e-5)
+    # float32 body rides the float program
+    f = imgs.astype(np.float32) / 127.5 - 1.0
+    status, out_f = _post(port, f.tobytes(), f.shape, "float32")
+    assert status == 200
+    np.testing.assert_allclose(np.asarray(out_f["joints_3d"]),
+                               local["joints_3d"], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_healthz_and_errors(served, rng):
+    _, port = served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/healthz")
+    resp = conn.getresponse()
+    health = json.loads(resp.read())
+    assert resp.status == 200 and health["status"] == "ok"
+    assert health["image_size"] == IMG
+
+    imgs = (rng.rand(2, IMG, IMG, 3) * 255).astype(np.uint8)
+    # wrong crop size
+    status, err = _post(port, imgs.tobytes(), (2, 32, 32, 3), "uint8")
+    assert status == 400 and "X-Shape" in err["error"]
+    # body length disagrees with the declared shape
+    status, err = _post(port, imgs.tobytes()[:-1], imgs.shape, "uint8")
+    assert status == 400 and "bytes" in err["error"]
+    # unsupported dtype
+    status, err = _post(port, imgs.tobytes(), imgs.shape, "int16")
+    assert status == 400 and "X-Dtype" in err["error"]
+    # unknown route
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
