@@ -58,6 +58,25 @@ def test_export_roundtrip_matches_live(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_export_vip_bakes_constants(tmp_path, rng):
+    """ViP's frozen FAVOR+ projection lives in the ``constants``
+    collection; the exported program must bake it (closure constant) so
+    the artifact decodes with the training-time feature map."""
+    opt = Options(net="ViP", iteration=1, compute_dtype="float32",
+                  checkpoint_path_eval="/nonexistent")
+    p = HandPosePredictor.from_checkpoint(opt, image_size=32)
+    assert p.constants  # the collection exists and rode along
+    out_dir = str(tmp_path / "vip")
+    export_predictor(p, out_dir)
+    loaded = load_artifact(out_dir)
+    imgs = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    live = p.predict(imgs)
+    aot = loaded.predict(imgs)
+    np.testing.assert_allclose(aot["joints_3d"], live["joints_3d"],
+                               atol=1e-5)
+
+
+@pytest.mark.slow
 def test_export_refuses_mesh_mode(tmp_path):
     from scat_tpu.parallel import mesh as mesh_lib
     p = _predictor()
