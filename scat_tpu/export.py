@@ -190,6 +190,17 @@ class ExportedPredictor:
         return run_bucketed(forward, self.params, self.batch_stats, x,
                             self._buckets, jnp.asarray)
 
+    def predict_from_frames(self, frames, joints_2d_hint):
+        """Full frames + rough 2D detections -> crops -> prediction
+        (same contract as ``HandPosePredictor.predict_from_frames``)."""
+        from scat_tpu.serving import frames_to_crops
+        crops, M = frames_to_crops(np.asarray(frames),
+                                   np.asarray(joints_2d_hint),
+                                   self.image_size)
+        out = self.predict(crops)
+        out["crop_affine"] = M
+        return out
+
 
 def load_artifact(path: str) -> ExportedPredictor:
     return ExportedPredictor(path)

@@ -218,15 +218,25 @@ class HandPosePredictor:
         prediction.  ``frames`` [N,H,W,3] uint8; ``joints_2d_hint``
         [N,21,2] frame pixels (e.g. a detector's output or the previous
         frame's prediction, like the demo's fixed-window tracking)."""
-        from scat_tpu.data import preprocess
-        N, H, W, _ = frames.shape
-        M, j2d_crop = preprocess.crop_hand_affine(
-            jnp.asarray(joints_2d_hint, jnp.float32), W, H,
-            self.image_size, expand=1.5, min_size=20.0)
-        crops = preprocess.affine_sample(
-            preprocess.normalize_to_unit(
-                jnp.asarray(frames, jnp.float32)),
-            M, self.image_size, self.image_size, fill=-1.0)
-        out = self.predict(np.asarray(crops))
-        out["crop_affine"] = np.asarray(M)
+        crops, M = frames_to_crops(frames, joints_2d_hint,
+                                   self.image_size)
+        out = self.predict(crops)
+        out["crop_affine"] = M
         return out
+
+
+def frames_to_crops(frames: np.ndarray, joints_2d_hint: np.ndarray,
+                    image_size: int) -> tuple:
+    """Detection-to-crop stage shared by the live predictor and the
+    exported artifact: batched crop affine from the 2D hints, one fused
+    bilinear warp on device.  Returns (crops [N,S,S,3] float32 [-1,1],
+    crop_affine [N,2,3]) as numpy."""
+    from scat_tpu.data import preprocess
+    _, H, W, _ = frames.shape
+    M, _ = preprocess.crop_hand_affine(
+        jnp.asarray(joints_2d_hint, jnp.float32), W, H,
+        image_size, expand=1.5, min_size=20.0)
+    crops = preprocess.affine_sample(
+        preprocess.normalize_to_unit(jnp.asarray(frames, jnp.float32)),
+        M, image_size, image_size, fill=-1.0)
+    return np.asarray(crops), np.asarray(M)

@@ -55,6 +55,16 @@ def test_export_roundtrip_matches_live(tmp_path, rng):
     # contract violations fail loudly
     with pytest.raises(ValueError, match="uint8"):
         loaded.predict(imgs.astype(np.int32))
+    # the detection-to-pose path works off the artifact too
+    frames = (rng.rand(2, 120, 160, 3) * 255).astype(np.uint8)
+    hints = (rng.rand(2, 21, 2) * [160, 120] * 0.5 + [40, 30]
+             ).astype(np.float32)
+    out_f = loaded.predict_from_frames(frames, hints)
+    live_f = p.predict_from_frames(frames, hints)
+    np.testing.assert_allclose(out_f["joints_3d"], live_f["joints_3d"],
+                               atol=1e-5)
+    np.testing.assert_allclose(out_f["crop_affine"],
+                               live_f["crop_affine"], atol=1e-5)
 
 
 @pytest.mark.slow
