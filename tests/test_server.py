@@ -56,6 +56,32 @@ def test_predict_roundtrip(served, rng):
 
 
 @pytest.mark.slow
+def test_concurrent_clients(served, rng):
+    """Parallel requests must all complete (the predictor lock
+    serializes device work; the threaded server must not deadlock) and
+    each client must get its own answer back."""
+    predictor, port = served
+    imgs = (rng.rand(4, 2, IMG, IMG, 3) * 255).astype(np.uint8)
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = _post(port, imgs[i].tobytes(), imgs[i].shape,
+                           "uint8")
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(4):
+        status, out = results[i]
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(out["joints_3d"]),
+            predictor.predict(imgs[i])["joints_3d"], atol=1e-5)
+
+
+@pytest.mark.slow
 def test_healthz_and_errors(served, rng):
     _, port = served
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
