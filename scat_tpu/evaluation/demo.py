@@ -232,7 +232,8 @@ class DemoRunner:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-        except Exception:
+        except Exception as e:  # pragma: no cover
+            print(f"matplotlib unavailable, skipping frame plot: {e}")
             return
         import cv2
         remap = draw.jointsMapSMPLXToSimple

@@ -112,7 +112,8 @@ class Tester:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-        except Exception:
+        except Exception as e:  # pragma: no cover
+            print(f"matplotlib unavailable, skipping overlay: {e}")
             return
         fig = plt.figure()
         ax = fig.add_subplot(111)
