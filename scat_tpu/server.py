@@ -17,9 +17,12 @@ Endpoints:
 
 Raw-bytes-in / JSON-out keeps the hot direction cheap: a bs-32 uint8
 request is 4.8 MB of body (vs ~25 MB as JSON) while the response is
-~13 KB.  Requests are serialized through a lock — the predictor already
-pipelines chunks internally (``serving.run_bucketed``), and one device
-queue ordering beats interleaved dispatch from server threads.
+~13 KB.  By default requests serialize through a lock — the predictor
+already pipelines chunks internally (``serving.run_bucketed``), and one
+device queue ordering beats interleaved dispatch from server threads.
+With ``--batch_window_ms W`` concurrent requests arriving within W ms
+coalesce into ONE device batch (``MicroBatcher``) — the throughput
+lever for many-small-client deployments.
 
 CLI:
   python -m scat_tpu.server --server_port 8080 \
@@ -32,11 +35,77 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 _ALLOWED_DTYPES = ("uint8", "float32")
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into one device batch.
+
+    Classic serving-throughput lever: N clients posting small requests
+    within ``window_s`` of each other ride ONE forward pass instead of
+    N serialized ones (the predictor's bucket padding then amortizes
+    over real samples instead of zeros).  A dispatcher thread owns the
+    device — callers block on an event until their slice is scattered
+    back.  Requests are grouped by dtype (uint8 and float ride separate
+    compiled programs); oversized coalesced batches are fine because
+    ``predict`` already chunks internally (serving.run_bucketed)."""
+
+    def __init__(self, predictor, window_s: float = 0.002):
+        self._pred = predictor
+        self._window = window_s
+        self._cv = threading.Condition()
+        self._queue: list = []   # (images, slot, event)
+        self.batches_run = 0     # observability / tests
+        self.requests_served = 0
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    @property
+    def image_size(self):
+        return self._pred.image_size
+
+    def predict(self, images):
+        slot, done = {}, threading.Event()
+        with self._cv:
+            self._queue.append((np.asarray(images), slot, done))
+            self._cv.notify()
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            time.sleep(self._window)  # let the burst accumulate
+            with self._cv:
+                batch, self._queue = self._queue, []
+            by_dtype: dict = {}
+            for item in batch:
+                by_dtype.setdefault(str(item[0].dtype), []).append(item)
+            for items in by_dtype.values():
+                try:
+                    out = self._pred.predict(
+                        np.concatenate([x for x, _, _ in items]))
+                    self.batches_run += 1
+                    start = 0
+                    for x, slot, done in items:
+                        n = x.shape[0]
+                        slot["out"] = {k: v[start:start + n]
+                                       for k, v in out.items()}
+                        start += n
+                        self.requests_served += 1
+                        done.set()
+                except Exception as e:  # deliver, don't kill the loop
+                    for _, slot, done in items:
+                        slot["error"] = e
+                        done.set()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -94,18 +163,34 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
-                model_info: dict = None) -> ThreadingHTTPServer:
+                model_info: dict = None, batch_window_ms: float = 0.0
+                ) -> ThreadingHTTPServer:
     """Build (not start) the server; caller runs ``serve_forever()``.
 
     ``predictor``: anything with ``predict(images) -> dict`` and an
-    ``image_size`` attribute."""
+    ``image_size`` attribute.  ``batch_window_ms`` > 0 turns on
+    micro-batching: concurrent requests arriving within the window
+    coalesce into one device batch (see :class:`MicroBatcher`)."""
+    if batch_window_ms > 0:
+        predictor = MicroBatcher(predictor, batch_window_ms / 1e3)
+        lock = _NullLock()  # the batcher's dispatcher owns the device
+    else:
+        lock = threading.Lock()
     handler = type("Handler", (_Handler,), {
         "predictor": predictor,
-        "lock": threading.Lock(),
+        "lock": lock,
         "model_info": {"image_size": predictor.image_size,
                        **(model_info or {})},
     })
     return ThreadingHTTPServer((host, port), handler)
+
+
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
 
 
 def main(argv=None) -> None:
@@ -121,6 +206,9 @@ def main(argv=None) -> None:
     peel.add_argument("--serve_artifact", default="",
                       help="serve an AOT export dir instead of a live "
                            "checkpoint")
+    peel.add_argument("--batch_window_ms", type=float, default=0.0,
+                      help="coalesce concurrent requests arriving "
+                           "within this window into one device batch")
     server_opt, rest = peel.parse_known_args(
         sys.argv[1:] if argv is None else argv)
 
@@ -136,7 +224,8 @@ def main(argv=None) -> None:
                 "net": opt.net}
 
     httpd = make_server(predictor, server_opt.server_host,
-                        server_opt.server_port, info)
+                        server_opt.server_port, info,
+                        batch_window_ms=server_opt.batch_window_ms)
     # compile the bucket set before accepting traffic
     if hasattr(predictor, "warmup"):
         predictor.warmup()

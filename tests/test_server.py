@@ -82,6 +82,44 @@ def test_concurrent_clients(served, rng):
 
 
 @pytest.mark.slow
+def test_micro_batching_coalesces(served, rng):
+    """With a batching window, concurrent single-crop requests must
+    ride fewer device batches than requests — and every client still
+    gets exactly its own answer."""
+    predictor, _ = served
+    from scat_tpu.server import MicroBatcher, make_server
+    httpd = make_server(predictor, port=0, batch_window_ms=1000.0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    # reach through the handler class to the batcher for its counters
+    batcher = httpd.RequestHandlerClass.predictor
+    assert isinstance(batcher, MicroBatcher)
+
+    imgs = (rng.rand(6, 1, IMG, IMG, 3) * 255).astype(np.uint8)
+    results = [None] * 6
+
+    def hit(i):
+        results[i] = _post(port, imgs[i].tobytes(), imgs[i].shape,
+                           "uint8")
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(6):
+        status, out = results[i]
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(out["joints_3d"]),
+            predictor.predict(imgs[i])["joints_3d"], atol=1e-5)
+    assert batcher.requests_served == 6
+    # a 1 s window must coalesce a simultaneous burst of 6
+    assert batcher.batches_run < 6
+    httpd.shutdown()
+
+
+@pytest.mark.slow
 def test_healthz_and_errors(served, rng):
     _, port = served
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
