@@ -43,6 +43,17 @@ def build_model(opt: Options, image_size: int = 224,
         mean = assets.load_mean_params(outside=opt.outside)
     mean_j = jnp.asarray(mean)
 
+    # PL regularization differentiates twice through the attention
+    # stack (loss -> grad of the vjp probe, hand_net PL path); the
+    # Pallas flash kernel's custom VJP supports one reverse pass only,
+    # so training with --pl_reg must take the XLA einsum attention —
+    # measured parity with the kernel at these token counts
+    # (benchmarks/RESULTS.md "Pallas vs XLA attention").
+    use_pallas_attn = opt.use_pallas_attention and not opt.pl_reg
+    if opt.use_pallas_attention and opt.pl_reg:
+        print("--pl_reg needs double-backward: using the XLA attention "
+              "path (parity with the Pallas kernel, see "
+              "benchmarks/RESULTS.md)")
     if opt.net == "reg_transformer":
         model = EncoderTransformer(
             mean_params=mean_j, iteration=opt.iteration,
@@ -50,7 +61,7 @@ def build_model(opt: Options, image_size: int = 224,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
             pl_reg=opt.pl_reg, token_dim=token_dim,
             norm_layer=opt.norm_layer,
-            use_pallas=opt.use_pallas_attention, dtype=_dtype(opt))
+            use_pallas=use_pallas_attn, dtype=_dtype(opt))
     elif opt.net == "reg_transformer_coarse":
         model = EncoderTransformerCoarse(
             mean_params=mean_j, heads=opt.vit_heads, depth=opt.vit_depth,

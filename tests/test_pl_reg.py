@@ -86,3 +86,40 @@ def test_pl_double_backward_is_finite(rng):
     grads = jax.grad(loss_fn)(variables["params"])
     for g in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.slow
+def test_pl_reg_full_step_with_pallas_flag(rng):
+    """--pl_reg + --use_pallas_attention must TRAIN (the canonical
+    ablation config, script/ablation_pose.sh:5 [--pl_reg True]): the
+    factory routes to the XLA attention because the Pallas kernel's
+    custom VJP supports one reverse pass only — without the gate the
+    jitted step dies with 'Linearization failed' (caught on-chip,
+    round 3)."""
+    import optax
+
+    from scat_tpu.config import Options
+    from scat_tpu.models import build_model
+    from scat_tpu.training import steps
+    from scat_tpu.training.state import TrainState
+
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  mask_rate=0.2, pl_reg=True, use_pallas_attention=True,
+                  compute_dtype="float32")
+    model, _ = build_model(opt, 64)
+    assert model.use_pallas is False  # the gate routed to XLA attention
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, x,
+        train=True)
+    tx = optax.adam(1e-4)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx,
+                              jax.random.key(0))
+    step = jax.jit(steps.make_train_step(model, tx, 1e5, 10.0,
+                                         pl_reg=True))
+    batch = {"image": x, "label": jnp.zeros((2, 105), jnp.float32),
+             "valid": jnp.ones((2,), jnp.float32)}
+    _, stats = step(state, batch)
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["loss_pl"]))
