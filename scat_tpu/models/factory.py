@@ -72,13 +72,13 @@ def build_model(opt: Options, image_size: int = 224,
             mean_params=mean_j, iteration=opt.iteration,
             heads=opt.vit_heads, depth=opt.vit_depth,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
-            dtype=_dtype(opt))
+            use_pallas=use_pallas_attn, dtype=_dtype(opt))
     elif opt.net == "backbone_incepv3":
         model = EncoderTransformerInception(
             mean_params=mean_j, iteration=opt.iteration,
             heads=opt.vit_heads, depth=opt.vit_depth,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
-            dtype=_dtype(opt))
+            use_pallas=use_pallas_attn, dtype=_dtype(opt))
     elif opt.net == "frankmocap":
         cls = H3DWJointsEncoder if for_keypoints else H3DWEncoder
         model = cls(mean_params=mean_j, dtype=_dtype(opt))

@@ -281,6 +281,7 @@ class _TokenRegressorHead(nn.Module):
     num_tokens: int = 128
     token_dim: int = 196
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array, deterministic: bool):
@@ -295,6 +296,7 @@ class _TokenRegressorHead(nn.Module):
         out = PyramidTransformer(
             dim=self.token_dim, depth=self.depth, heads=self.heads,
             dim_head=64, mlp_dim=392, dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="transformer")(tokens, deterministic=deterministic)
         feat = out.mean(axis=1).astype(jnp.float32)
         pred = jnp.broadcast_to(self.mean_params.astype(jnp.float32),
@@ -318,6 +320,7 @@ class EncoderTransformerHRNet(nn.Module):
     mask_rate: float = 0.0
     pos_embed: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True,
@@ -335,8 +338,8 @@ class EncoderTransformerHRNet(nn.Module):
         return _TokenRegressorHead(
             self.mean_params, self.iteration, self.heads, self.depth,
             self.mask_rate, self.pos_embed, tokens.shape[1],
-            tokens.shape[2], self.dtype, name="head")(
-                tokens, deterministic)
+            tokens.shape[2], self.dtype, use_pallas=self.use_pallas,
+            name="head")(tokens, deterministic)
 
 
 class EncoderTransformerInception(nn.Module):
@@ -351,6 +354,7 @@ class EncoderTransformerInception(nn.Module):
     mask_rate: float = 0.0
     pos_embed: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True,
@@ -368,8 +372,8 @@ class EncoderTransformerInception(nn.Module):
         return _TokenRegressorHead(
             self.mean_params, self.iteration, self.heads, self.depth,
             self.mask_rate, self.pos_embed, tokens.shape[1],
-            tokens.shape[2], self.dtype, name="head")(
-                tokens, deterministic)
+            tokens.shape[2], self.dtype, use_pallas=self.use_pallas,
+            name="head")(tokens, deterministic)
 
 
 class H3DWJointsEncoder(nn.Module):

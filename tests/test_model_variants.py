@@ -182,3 +182,25 @@ def test_check_eval_variables_guards_vip_constants():
     check_eval_variables(opt, {"params": {}, "constants": {"w": 1}})
     opt.net = "reg_transformer"   # non-ViP nets don't need the guard
     check_eval_variables(opt, {"params": {}})
+
+
+@pytest.mark.slow
+def test_token_heads_pallas_matches_xla(rng):
+    """The 128-token HRNet/Inception head rides the same flash kernel
+    as the flagship when --use_pallas_attention is on (SURVEY §2.10);
+    interpret-mode kernel output must match the XLA path exactly on the
+    same params."""
+    base = Options(net="backbone_incepv3", vit_heads=2,
+                   compute_dtype="float32", use_pallas_attention=False)
+    fast = Options(net="backbone_incepv3", vit_heads=2,
+                   compute_dtype="float32", use_pallas_attention=True)
+    m_xla, _ = build_model(base, image_size=224)
+    m_pl, _ = build_model(fast, image_size=224)
+    assert m_pl.use_pallas and not m_xla.use_pallas
+    x = jnp.asarray(rng.randn(2, 224, 224, 3), jnp.float32)
+    variables = m_xla.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, x,
+        train=False)
+    a = m_xla.apply(variables, x, train=False)
+    b = m_pl.apply(variables, x, train=False)  # same param tree
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
