@@ -67,18 +67,24 @@ def build_model(opt: Options, image_size: int = 224,
             mean_params=mean_j, heads=opt.vit_heads, depth=opt.vit_depth,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
             pl_reg=opt.pl_reg, token_dim=token_dim, dtype=_dtype(opt))
+    # The 128-token heads CAN ride the flash kernel (use_pallas field,
+    # interpret-parity tested) but default to the XLA einsum path: on
+    # v5e the kernel measures ~1-3.5% SLOWER at this scale (incepv3
+    # 2839 vs 2947 train crops/s, hrnet within noise — same verdict as
+    # the FAVOR+ kernel, benchmarks/RESULTS.md), so the measured-faster
+    # path is the default and the kernel stays an opt-in capability.
     elif opt.net == "backbone_hrnet":
         model = EncoderTransformerHRNet(
             mean_params=mean_j, iteration=opt.iteration,
             heads=opt.vit_heads, depth=opt.vit_depth,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
-            use_pallas=use_pallas_attn, dtype=_dtype(opt))
+            dtype=_dtype(opt))
     elif opt.net == "backbone_incepv3":
         model = EncoderTransformerInception(
             mean_params=mean_j, iteration=opt.iteration,
             heads=opt.vit_heads, depth=opt.vit_depth,
             mask_rate=opt.mask_rate, pos_embed=opt.pos_embed,
-            use_pallas=use_pallas_attn, dtype=_dtype(opt))
+            dtype=_dtype(opt))
     elif opt.net == "frankmocap":
         cls = H3DWJointsEncoder if for_keypoints else H3DWEncoder
         model = cls(mean_params=mean_j, dtype=_dtype(opt))

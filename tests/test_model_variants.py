@@ -186,17 +186,16 @@ def test_check_eval_variables_guards_vip_constants():
 
 @pytest.mark.slow
 def test_token_heads_pallas_matches_xla(rng):
-    """The 128-token HRNet/Inception head rides the same flash kernel
-    as the flagship when --use_pallas_attention is on (SURVEY §2.10);
-    interpret-mode kernel output must match the XLA path exactly on the
-    same params."""
-    base = Options(net="backbone_incepv3", vit_heads=2,
-                   compute_dtype="float32", use_pallas_attention=False)
-    fast = Options(net="backbone_incepv3", vit_heads=2,
-                   compute_dtype="float32", use_pallas_attention=True)
-    m_xla, _ = build_model(base, image_size=224)
-    m_pl, _ = build_model(fast, image_size=224)
-    assert m_pl.use_pallas and not m_xla.use_pallas
+    """The 128-token HRNet/Inception head CAN ride the flash kernel
+    (SURVEY §2.10 reuse) — interpret-mode kernel output must match the
+    XLA path exactly on the same params.  The factory keeps these heads
+    on XLA by default because the kernel measures 1-3.5% slower at this
+    scale on v5e (benchmarks/RESULTS.md, same verdict as FAVOR+)."""
+    opt = Options(net="backbone_incepv3", vit_heads=2,
+                  compute_dtype="float32")
+    m_xla, _ = build_model(opt, image_size=224)
+    assert not m_xla.use_pallas  # measured-faster default
+    m_pl = m_xla.clone(use_pallas=True)
     x = jnp.asarray(rng.randn(2, 224, 224, 3), jnp.float32)
     variables = m_xla.init(
         {"params": jax.random.key(0), "mask": jax.random.key(1)}, x,
