@@ -116,8 +116,14 @@ class HandPosePredictor:
                 {"params": jax.random.key(0), "mask": jax.random.key(1),
                  "dropout": jax.random.key(2)}, sample, train=False)
             variables = dict(variables)
-            variables["params"] = ckpt_lib.restore_params_nonstrict(
-                opt.checkpoint_path_eval, variables["params"])
+            # variables-level restore: handles reference ``.pth`` files
+            # AND loads the trained BN running stats (params-only
+            # loading would silently serve with init normalization)
+            p_, bs_ = ckpt_lib.restore_variables_nonstrict(
+                opt.checkpoint_path_eval, variables["params"],
+                variables.get("batch_stats", {}))
+            variables["params"] = p_
+            variables["batch_stats"] = bs_
             if variables.get("constants") and \
                     not opt.checkpoint_path_eval.endswith(".pth"):
                 variables["constants"] = \

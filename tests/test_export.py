@@ -95,3 +95,42 @@ def test_export_refuses_mesh_mode(tmp_path):
         image_size=IMG, mesh=mesh_lib.make_mesh())
     with pytest.raises(ValueError, match="single-chip"):
         export_predictor(sharded, str(tmp_path / "x"))
+
+
+@pytest.mark.slow
+def test_reference_pth_to_artifact(tmp_path, rng):
+    """The full migration pipeline: a torch reference user's
+    ``hand_net_final.pth`` -> from_checkpoint -> StableHLO artifact ->
+    served predictions that reproduce the torch forward."""
+    import torch
+
+    import torch_oracles
+    from scat_tpu import assets
+
+    torch.manual_seed(0)
+    mean = assets.load_mean_params()
+    tm = torch_oracles.EncoderTransformer(
+        torch.from_numpy(mean[None].astype(np.float32)), iteration=1,
+        heads=2)
+    tm.transformer = torch_oracles.Transformer(784, 3, 2, 64, 392)
+    tm.eval()
+    pth = tmp_path / "hand_net_final.pth"
+    torch.save(tm.state_dict(), pth)
+
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  mask_rate=0.0, checkpoint_path_eval=str(pth))
+    p = HandPosePredictor.from_checkpoint(opt, image_size=224)
+    out_dir = str(tmp_path / "artifact")
+    export_predictor(p, out_dir)
+    loaded = load_artifact(out_dir)
+
+    img = (rng.rand(2, 224, 224, 3) * 255).astype(np.uint8)
+    served = loaded.predict(img)
+    x = img.astype(np.float32) / 127.5 - 1.0
+    with torch.no_grad():
+        want, _ = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want = want.numpy()
+    np.testing.assert_allclose(served["camera"], want[:, :3], atol=2e-3)
+    np.testing.assert_allclose(
+        served["joints_3d"].reshape(2, 63), want[:, 3:66], atol=2e-3)
