@@ -50,7 +50,11 @@ def build_model(opt: Options, image_size: int = 224,
     # measured parity with the kernel at these token counts
     # (benchmarks/RESULTS.md "Pallas vs XLA attention").
     use_pallas_attn = opt.use_pallas_attention and not opt.pl_reg
-    if opt.use_pallas_attention and opt.pl_reg:
+    if opt.use_pallas_attention and opt.pl_reg \
+            and opt.net == "reg_transformer":
+        # only the flagship routes the flag at all (below); printing
+        # the rerouting message for nets that never ran the kernel
+        # would misreport kernel selection
         print("--pl_reg needs double-backward: using the XLA attention "
               "path (parity with the Pallas kernel, see "
               "benchmarks/RESULTS.md)")
@@ -71,8 +75,11 @@ def build_model(opt: Options, image_size: int = 224,
     # interpret-parity tested) but default to the XLA einsum path: on
     # v5e the kernel measures ~1-3.5% SLOWER at this scale (incepv3
     # 2839 vs 2947 train crops/s, hrnet within noise — same verdict as
-    # the FAVOR+ kernel, benchmarks/RESULTS.md), so the measured-faster
-    # path is the default and the kernel stays an opt-in capability.
+    # the FAVOR+ kernel, benchmarks/RESULTS.md).  The opt-in is
+    # programmatic — model.clone(use_pallas=True) — NOT the
+    # --use_pallas_attention flag: that flag defaults True for the
+    # flagship, so routing it here would silently flip these heads
+    # onto the measured-slower kernel for every CLI run.
     elif opt.net == "backbone_hrnet":
         model = EncoderTransformerHRNet(
             mean_params=mean_j, iteration=opt.iteration,

@@ -33,6 +33,7 @@ CLI:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import threading
 import time
@@ -60,29 +61,55 @@ class MicroBatcher:
         self._window = window_s
         self._cv = threading.Condition()
         self._queue: list = []   # (images, slot, event)
+        self._stopped = False
         self.batches_run = 0     # observability / tests
         self.requests_served = 0
-        threading.Thread(target=self._loop, daemon=True).start()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
 
     @property
     def image_size(self):
         return self._pred.image_size
 
+    def stop(self) -> None:
+        """End the dispatcher thread (queued requests get errors).
+
+        Without this every ``make_server(batch_window_ms>0)`` would leak
+        an immortal thread pinning the predictor's device buffers;
+        ``server_close()`` calls it."""
+        with self._cv:
+            self._stopped = True
+            self._cv.notify()
+        self._thread.join(timeout=5.0)
+
     def predict(self, images):
         slot, done = {}, threading.Event()
         with self._cv:
+            if self._stopped:
+                raise RuntimeError("MicroBatcher is stopped")
             self._queue.append((np.asarray(images), slot, done))
             self._cv.notify()
         done.wait()
         if "error" in slot:
-            raise slot["error"]
+            # a fresh exception per waiting thread: re-raising the one
+            # shared instance from N threads races on its __traceback__
+            raise RuntimeError(
+                f"micro-batched predict failed: {slot['error']}"
+            ) from slot["error"]
         return slot["out"]
 
     def _loop(self):
         while True:
             with self._cv:
-                while not self._queue:
+                while not self._queue and not self._stopped:
                     self._cv.wait()
+                if self._stopped:
+                    for _, slot, done in self._queue:
+                        slot["error"] = RuntimeError(
+                            "MicroBatcher stopped")
+                        done.set()
+                    self._queue = []
+                    return
             time.sleep(self._window)  # let the burst accumulate
             with self._cv:
                 batch, self._queue = self._queue, []
@@ -156,8 +183,13 @@ class _Handler(BaseHTTPRequestHandler):
                                    dtype).reshape(shape)
         except ValueError as e:
             return self._send(400, {"error": str(e)})
-        with self.lock:
-            out = self.predictor.predict(images)
+        try:
+            with self.lock:
+                out = self.predictor.predict(images)
+        except Exception as e:  # a transient device error must answer
+            # every coalesced client with a 500, not a connection reset
+            return self._send(
+                500, {"error": f"{type(e).__name__}: {e}"})
         self._send(200, {k: np.asarray(v).tolist()
                          for k, v in out.items()})
 
@@ -171,9 +203,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
     ``image_size`` attribute.  ``batch_window_ms`` > 0 turns on
     micro-batching: concurrent requests arriving within the window
     coalesce into one device batch (see :class:`MicroBatcher`)."""
+    batcher = None
     if batch_window_ms > 0:
-        predictor = MicroBatcher(predictor, batch_window_ms / 1e3)
-        lock = _NullLock()  # the batcher's dispatcher owns the device
+        predictor = batcher = MicroBatcher(predictor,
+                                           batch_window_ms / 1e3)
+        # the batcher's dispatcher owns the device; no handler lock
+        lock = contextlib.nullcontext()
     else:
         lock = threading.Lock()
     handler = type("Handler", (_Handler,), {
@@ -182,15 +217,21 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
         "model_info": {"image_size": predictor.image_size,
                        **(model_info or {})},
     })
-    return ThreadingHTTPServer((host, port), handler)
+    httpd = _ScatHTTPServer((host, port), handler)
+    httpd.batcher = batcher
+    return httpd
 
 
-class _NullLock:
-    def __enter__(self):
-        return self
+class _ScatHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer whose ``server_close`` also ends the
+    micro-batcher's dispatcher thread (otherwise each batched server
+    leaks an immortal thread pinning the predictor)."""
+    batcher: MicroBatcher = None
 
-    def __exit__(self, *exc):
-        return False
+    def server_close(self):
+        super().server_close()
+        if self.batcher is not None:
+            self.batcher.stop()
 
 
 def main(argv=None) -> None:

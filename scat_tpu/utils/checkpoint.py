@@ -121,11 +121,19 @@ def restore_variables_nonstrict(path: str, params: Any,
             raise FileNotFoundError(
                 f"torch checkpoint {apath} does not exist")
         return _load_pth_into(apath, params, batch_stats)
-    new_params = restore_params_nonstrict(path, params, key="params")
+    if not path or not os.path.exists(os.path.abspath(path)):
+        # scratch path: reuse the single-tree loader's messages
+        return (restore_params_nonstrict(path, params, key="params"),
+                batch_stats)
+    # one deserialization serves both collections (a separate
+    # restore_params_nonstrict per key would read the checkpoint twice)
+    loaded = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    new_params, skipped = _merge_nonstrict(
+        params, loaded.get("params", loaded))
+    _report_skipped(skipped)
     if batch_stats is None:
         return new_params, batch_stats
-    new_bs = restore_params_nonstrict(path, batch_stats,
-                                      key="batch_stats", quiet=True)
+    new_bs, _ = _merge_nonstrict(batch_stats, loaded.get("batch_stats"))
     return new_params, new_bs
 
 
@@ -151,6 +159,14 @@ def restore_params_nonstrict(path: str, params: Any,
     ckptr = ocp.PyTreeCheckpointer()
     loaded = ckptr.restore(path)
     loaded_params = loaded.get(key, loaded if key == "params" else None)
+    merged, skipped = _merge_nonstrict(params, loaded_params)
+    _report_skipped(skipped)
+    return merged
+
+
+def _merge_nonstrict(params: Any, loaded_params: Any):
+    """Merge a loaded tree onto the current one, keeping current values
+    for anything missing; returns ``(merged, skipped_descriptions)``."""
     skipped = []
 
     def merge(cur, new, prefix=""):
@@ -170,9 +186,11 @@ def restore_params_nonstrict(path: str, params: Any,
             return cur
         return new
 
-    merged = merge(params, loaded_params)
+    return merge(params, loaded_params), skipped
+
+
+def _report_skipped(skipped) -> None:
     if skipped:
         print(f"skipped {len(skipped)} size-mismatched tensors: "
               + ", ".join(skipped[:5])
               + ("..." if len(skipped) > 5 else ""))
-    return merged

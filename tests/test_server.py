@@ -26,6 +26,7 @@ def served():
     thread.start()
     yield predictor, httpd.server_address[1]
     httpd.shutdown()
+    httpd.server_close()
 
 
 def _post(port, body, shape, dtype):
@@ -117,6 +118,36 @@ def test_micro_batching_coalesces(served, rng):
     # a 1 s window must coalesce a simultaneous burst of 6
     assert batcher.batches_run < 6
     httpd.shutdown()
+    # server_close must end the dispatcher thread (leak guard) and
+    # further predicts must fail loudly, not hang
+    httpd.server_close()
+    assert not batcher._thread.is_alive()
+    with pytest.raises(RuntimeError):
+        batcher.predict(imgs[0])
+
+
+@pytest.mark.slow
+def test_predictor_failure_returns_500(served, rng):
+    """A device/runtime error inside predict must come back as a 500
+    JSON body, not a connection reset — including through the
+    micro-batcher, where one failure fans out to every coalesced
+    client."""
+    class Boom:
+        image_size = IMG
+
+        def predict(self, images):
+            raise RuntimeError("synthetic device OOM")
+
+    for window in (0.0, 50.0):
+        httpd = make_server(Boom(), port=0, batch_window_ms=window)
+        threading.Thread(target=httpd.serve_forever,
+                         daemon=True).start()
+        port = httpd.server_address[1]
+        imgs = (rng.rand(1, IMG, IMG, 3) * 255).astype(np.uint8)
+        status, err = _post(port, imgs.tobytes(), imgs.shape, "uint8")
+        assert status == 500 and "synthetic device OOM" in err["error"]
+        httpd.shutdown()
+        httpd.server_close()
 
 
 @pytest.mark.slow
