@@ -143,6 +143,11 @@ class Options:
     param_sharding: str = "replicated"
     # destination for `python -m scat_tpu.export` AOT serving artifacts
     export_dir: str = "./export/scat"
+    # non-empty: capture a jax.profiler trace (viewable in
+    # TensorBoard/XProf) of `profile_trace_steps` training steps,
+    # starting after compilation settles
+    profile_trace_dir: str = ""
+    profile_trace_steps: int = 20
 
     # Derived / runtime-only
     def mesh_axes(self) -> Tuple[Tuple[str, int], ...]:

@@ -201,9 +201,18 @@ class Trainer:
         log_every = max(opt.log_every, 1)
         from scat_tpu.data.prefetch import prefetch_to_device
         from scat_tpu.utils.logging import MetricsLogger
-        from scat_tpu.utils.profiling import StepTimer
+        from scat_tpu.utils.profiling import StepTimer, TraceWindow
         logger = MetricsLogger(opt.checkpoint_folder)
         timer = StepTimer(self.batch_size)
+        # --profile_trace_dir: one steady-state jax.profiler capture
+        # (the reference's t0..t6 wall-clocks are collected and never
+        # reported, train.py:128-208)
+        trace = TraceWindow(opt.profile_trace_dir,
+                            opt.profile_trace_steps)
+        # periodic saves go through the async writer: the next epoch's
+        # steps overlap the disk write (the reference's torch.save
+        # blocks the loop, train.py:237-246)
+        saver = ckpt_lib.AsyncSaver()
         global_step = 0
         for epoch in range(self.epoches):
             # loss_pl accumulates over the WHOLE epoch and prints raw —
@@ -234,6 +243,7 @@ class Trainer:
                                else None)
                     n_samples += self.batch_size
                     global_step += 1
+                    trace.step(global_step, stats["loss"])
                     # accumulate ON DEVICE: a host float() here would
                     # force a D2H sync EVERY step, serializing dispatch
                     # with device execution (measured: the loop
@@ -277,10 +287,12 @@ class Trainer:
             dt = time.time() - t_epoch
             print(f"epoch {epoch + 1}: {n_samples / dt:.1f} samples/s")
             if epoch % opt.checkpoint_every_epochs == 0:
-                ckpt_lib.save_state(opt.checkpoint_folder, self.state)
+                saver.save(opt.checkpoint_folder, self.state)
                 timer.reset()
         print("Finished Training")
+        trace.stop()  # safe no-op unless the run ended mid-window
         logger.close()
+        saver.close()  # finalize any in-flight periodic write
         ckpt_lib.save_state(opt.checkpoint_folder, self.state,
                             ckpt_lib.FINAL_NAME)
 

@@ -42,6 +42,38 @@ def save_state(folder: str, state: TrainState, name: str = PERIODIC_NAME
     return path
 
 
+class AsyncSaver:
+    """Non-blocking periodic saves for the training loop.
+
+    The reference's ``torch.save`` every 10 epochs (train.py:237-246)
+    blocks the step loop for the full serialize+write.  Orbax's async
+    checkpointer moves the disk write (and atomic rename) to a
+    background thread: the caller only pays the device->host gather,
+    and the next epoch's steps overlap the write.  ``save`` waits for
+    any in-flight write first (two writers racing on the same atomic
+    rename would corrupt neither but could interleave their tmp dirs);
+    call :meth:`close` before a final blocking save or process exit."""
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+
+    def save(self, folder: str, state: TrainState,
+             name: str = PERIODIC_NAME) -> str:
+        os.makedirs(folder, exist_ok=True)
+        path = _path(folder, name)
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(path, args=ocp.args.StandardSave(state),
+                         force=True)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()  # close() finalizes any in-flight save
+
+
 def _load_pth_into(path: str, params: Any, batch_stats: Any):
     """Merge a reference torch ``.pth`` into FRESH COPIES of
     (params, batch_stats); returns the new trees.  Layout auto-detected

@@ -76,6 +76,43 @@ class StepTimer:
         return self.samples_per_sec / jax.device_count()
 
 
+class TraceWindow:
+    """Capture a ``jax.profiler`` trace of steps ``[start, start+n)``
+    of a training loop (``--profile_trace_dir``); viewable in
+    TensorBoard/XProf.  The window starts after the first steps so the
+    trace shows steady-state device time, not compilation.  Syncs only
+    at the window edges — no per-step overhead outside the window."""
+
+    def __init__(self, log_dir: Optional[str], n_steps: int = 20,
+                 start_step: int = 3):
+        self._dir = log_dir or None
+        self._start = start_step
+        self._end = start_step + max(n_steps, 1)
+        self._active = False
+        self._done = self._dir is None
+
+    def step(self, step: int, sync=None) -> None:
+        """Call once per loop iteration with the 0-based global step."""
+        if self._done:
+            return
+        if not self._active and step >= self._start:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+        elif self._active and step >= self._end:
+            self.stop(sync)
+
+    def stop(self, sync=None) -> None:
+        """Idempotent; also safe when the loop ended inside the window."""
+        if self._active:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            jax.profiler.stop_trace()
+            self._active = False
+        self._done = True
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: Optional[str]):
     """jax.profiler trace context (no-op when log_dir is None)."""

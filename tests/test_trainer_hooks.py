@@ -133,3 +133,30 @@ def test_trainer_debug_grid_and_csv(tmp_path, monkeypatch):
     for col in ("loss", "loss_3d", "loss_2d", "loss_pl",
                 "samples_per_sec"):
         assert col in header
+    # both the async periodic save and the blocking final save must be
+    # restorable full train states
+    from scat_tpu.utils import checkpoint as ckpt_lib
+    trainer = Trainer(opt, image_size=64)
+    for name in (ckpt_lib.PERIODIC_NAME, ckpt_lib.FINAL_NAME):
+        restored = ckpt_lib.restore_state(
+            str(tmp_path / "ckpt" / name), trainer.state)
+        assert restored is not None
+        assert int(restored.step) == 2  # 1 epoch x 2 steps
+
+
+@pytest.mark.slow
+def test_profile_trace_capture(tmp_path):
+    """--profile_trace_dir captures a steady-state jax.profiler trace
+    (TensorBoard/XProf layout under plugins/profile/)."""
+    from scat_tpu.training.trainer import Trainer
+    trace_dir = tmp_path / "trace"
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  batch_size=8, epoch=2, steps_per_epoch=3,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  synthetic_data=True, log_every=10,
+                  profile_trace_dir=str(trace_dir),
+                  profile_trace_steps=2,
+                  checkpoint_folder=str(tmp_path / "ckpt"))
+    Trainer(opt, image_size=64).train()
+    dumps = list(trace_dir.glob("plugins/profile/*/*"))
+    assert dumps, f"no profiler dump under {trace_dir}"
