@@ -81,6 +81,12 @@ class MicroBatcher:
             self._stopped = True
             self._cv.notify()
         self._thread.join(timeout=5.0)
+        if self._thread.is_alive():
+            # e.g. mid-predict on a batch that triggered a first-time
+            # XLA compile; the guard must not claim success silently
+            print("WARNING: MicroBatcher dispatcher still running "
+                  "after 5s (mid-predict?); it will exit after the "
+                  "current batch")
 
     def predict(self, images):
         slot, done = {}, threading.Event()
@@ -138,7 +144,9 @@ class MicroBatcher:
 class _Handler(BaseHTTPRequestHandler):
     # set by make_server:
     predictor = None
-    lock: threading.Lock = None
+    # a threading.Lock, or a nullcontext when the MicroBatcher's
+    # dispatcher owns the device — only used as a context manager
+    lock = None
     model_info: dict = None
 
     def log_message(self, fmt, *args):  # quiet by default

@@ -292,7 +292,15 @@ class Trainer:
         print("Finished Training")
         trace.stop()  # safe no-op unless the run ended mid-window
         logger.close()
-        saver.close()  # finalize any in-flight periodic write
+        try:
+            saver.close()  # finalize any in-flight periodic write
+        except Exception as e:
+            # a transient periodic-write failure (orbax re-raises the
+            # stored error here) must not abort the run before the
+            # final checkpoint below is written
+            print(f"WARNING: an async periodic checkpoint write "
+                  f"failed ({type(e).__name__}: {e}); the final save "
+                  "below still runs")
         ckpt_lib.save_state(opt.checkpoint_folder, self.state,
                             ckpt_lib.FINAL_NAME)
 

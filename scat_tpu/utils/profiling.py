@@ -89,10 +89,13 @@ class TraceWindow:
         self._start = start_step
         self._end = start_step + max(n_steps, 1)
         self._active = False
+        self._captured = False
         self._done = self._dir is None
 
     def step(self, step: int, sync=None) -> None:
-        """Call once per loop iteration with the 0-based global step."""
+        """Call once per loop iteration with a monotonically increasing
+        step counter (the trainer passes its 1-based global step, so
+        the default window starts at the 3rd step)."""
         if self._done:
             return
         if not self._active and step >= self._start:
@@ -100,6 +103,7 @@ class TraceWindow:
                 jax.block_until_ready(sync)
             jax.profiler.start_trace(self._dir)
             self._active = True
+            self._captured = True
         elif self._active and step >= self._end:
             self.stop(sync)
 
@@ -110,6 +114,11 @@ class TraceWindow:
                 jax.block_until_ready(sync)
             jax.profiler.stop_trace()
             self._active = False
+        if self._dir is not None and not self._captured:
+            # a short run can end before the window opens; an empty
+            # trace dir with no explanation is a debugging trap
+            print(f"WARNING: the run ended before step {self._start}; "
+                  f"no profiler trace was captured in {self._dir}")
         self._done = True
 
 

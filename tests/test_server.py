@@ -127,7 +127,7 @@ def test_micro_batching_coalesces(served, rng):
 
 
 @pytest.mark.slow
-def test_predictor_failure_returns_500(served, rng):
+def test_predictor_failure_returns_500(rng):
     """A device/runtime error inside predict must come back as a 500
     JSON body, not a connection reset — including through the
     micro-batcher, where one failure fans out to every coalesced
