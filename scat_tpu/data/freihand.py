@@ -113,7 +113,8 @@ class FreiHANDDataset:
 
     def __init__(self, data_dir: str, split: str = "training",
                  batch_size: int = 32, shuffle: bool = True,
-                 seed: int = 0, color_jitter: bool = True):
+                 seed: int = 0, color_jitter: bool = True,
+                 use_native: Optional[bool] = None):
         self.data_dir = data_dir
         self.split = split
         self.batch_size = batch_size
@@ -138,6 +139,32 @@ class FreiHANDDataset:
         # greenscreen/versioned copies reuse the unique label set
         self.n_unique = self.xyz.shape[0]
         self.n_images = n_images
+        # native C++ decode fast path: the real FreiHAND ships 224x224
+        # crops, where the warp is an exact identity — the threaded
+        # libjpeg pool replaces serial per-image PIL decodes in the
+        # prefetch thread.  Trees with other frame sizes keep the
+        # PIL+BILINEAR path (torchvision Resize parity; the native
+        # warp zero-fills borders where PIL's resize clamps).
+        if use_native is None:
+            from scat_tpu.data import native_loader
+            use_native = native_loader.available()
+        self.use_native = use_native and self._frames_are_224()
+
+    def _frames_are_224(self) -> bool:
+        if self.n_images == 0:
+            return False
+        from PIL import Image
+        try:
+            with Image.open(self._image_path(0)) as im:
+                return im.size == (224, 224)
+        except OSError:
+            return False
+
+    def _image_path(self, index: int) -> str:
+        path = os.path.join(self.rgb_dir, f"{index:08d}.jpg")
+        if not os.path.exists(path):
+            path = os.path.join(self.rgb_dir, f"{index:08d}.png")
+        return path
 
     def __len__(self) -> int:
         return self.n_images // self.batch_size
@@ -161,10 +188,7 @@ class FreiHANDDataset:
         """(image 224x224, sx, sy) — the resize factors must also apply
         to the 2D pixel labels or image and targets silently disagree."""
         from PIL import Image
-        path = os.path.join(self.rgb_dir, f"{index:08d}.jpg")
-        if not os.path.exists(path):
-            path = os.path.join(self.rgb_dir, f"{index:08d}.png")
-        img = Image.open(path).convert("RGB")
+        img = Image.open(self._image_path(index)).convert("RGB")
         sx = sy = 1.0
         if img.size != (224, 224):
             # torchvision Resize default interpolation is BILINEAR
@@ -190,23 +214,36 @@ class FreiHANDDataset:
         # stream (same offset convention as stb.py's augmentation rng)
         jitter_rng = np.random.RandomState(
             (self.seed + 1 + EPOCH_STRIDE * epoch) % (2 ** 31))
+        identity = np.tile(
+            np.asarray([1, 0, 0, 0, 1, 0], np.float32), (B, 1))
         for b in range(len(self)):
             idxs = order[b * B:(b + 1) * B]
-            loaded = [self._load_image_scaled(i) for i in idxs]
-            imgs = np.stack([im for im, _, _ in loaded])
             labels = np.stack([self.sample_labels(i) for i in idxs])
-            for n, (_, sx, sy) in enumerate(loaded):
-                if sx != 1.0 or sy != 1.0:
-                    # 2D targets live at [124:166] in original pixels;
-                    # rescale them with the image
-                    j2 = labels[n, 124:166].reshape(21, 2)
-                    labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
-            images = imgs.astype(np.float32) / 127.5 - 1.0
+            if self.use_native:
+                # threaded libjpeg decode + identity warp + normalize
+                # in the C++ pool (byte-exact vs the PIL path at this
+                # frame size: 2/255 == 1/127.5, integer sample points);
+                # a failed decode comes back valid=0 instead of raising
+                from scat_tpu.data import native_loader
+                images, valid = native_loader.load_batch(
+                    [self._image_path(i) for i in idxs], 224, 224,
+                    identity)
+            else:
+                loaded = [self._load_image_scaled(i) for i in idxs]
+                imgs = np.stack([im for im, _, _ in loaded])
+                for n, (_, sx, sy) in enumerate(loaded):
+                    if sx != 1.0 or sy != 1.0:
+                        # 2D targets live at [124:166] in original
+                        # pixels; rescale them with the image
+                        j2 = labels[n, 124:166].reshape(21, 2)
+                        labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
+                images = imgs.astype(np.float32) / 127.5 - 1.0
+                valid = np.ones((B,), np.float32)
             if self.color_jitter:
                 images = color_jitter_np(jitter_rng, images)
             yield {"image": jnp.asarray(images),
                    "label": jnp.asarray(labels),
-                   "valid": jnp.ones((B,), jnp.float32)}
+                   "valid": jnp.asarray(valid)}
 
 
 def get_loader_frei(stage: str = "training", bs: int = 32,

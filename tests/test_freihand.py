@@ -140,3 +140,40 @@ def test_rotate_pose_param_quaternion_reexec():
         np.testing.assert_allclose(got[:3], want3, rtol=1e-9, atol=1e-9)
         # the hand-pose body must pass through untouched
         np.testing.assert_array_equal(got[3:], pose[3:])
+
+
+def test_freihand_native_path_matches_pil(tmp_path):
+    """224x224 trees (the real dataset's frame size) ride the native
+    C++ decode pool; output must match the PIL path exactly — identity
+    warp at integer sample points, same normalize constant
+    (2/255 == 1/127.5), same shuffle and jitter streams."""
+    from scat_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native library unavailable")
+    root, *_ = _write_synthetic_frei(tmp_path, n=8, img_size=224)
+    kw = dict(batch_size=4, shuffle=True, seed=3)
+    ds_n = freihand.FreiHANDDataset(str(root), "training",
+                                    use_native=True, **kw)
+    ds_p = freihand.FreiHANDDataset(str(root), "training",
+                                    use_native=False, **kw)
+    assert ds_n.use_native and not ds_p.use_native
+    n_batches = 0
+    for bn, bp in zip(ds_n, ds_p):
+        np.testing.assert_allclose(np.asarray(bn["image"]),
+                                   np.asarray(bp["image"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(bn["label"]),
+                                      np.asarray(bp["label"]))
+        np.testing.assert_array_equal(np.asarray(bn["valid"]),
+                                      np.ones(4, np.float32))
+        n_batches += 1
+    assert n_batches == 2
+
+
+def test_freihand_non224_keeps_pil_resize_parity(tmp_path):
+    """Non-224 trees must NOT take the native path: the torchvision
+    Resize(BILINEAR) contract (test_freihand_resize_is_bilinear) only
+    holds on the PIL path — the native warp zero-fills borders where
+    PIL's resize clamps."""
+    root, *_ = _write_synthetic_frei(tmp_path, n=4, img_size=128)
+    ds = freihand.FreiHANDDataset(str(root), "training", batch_size=2)
+    assert not ds.use_native
