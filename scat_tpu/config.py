@@ -138,6 +138,12 @@ class Options:
     compat_pl_ema_reset: bool = True  # reproduce train.py:180-182 EMA reset
     compat_pck_flat: bool = True      # reproduce eval.py:311-312 dist.flat
     donate_state: bool = True
+    # gradient accumulation: microbatches per optimizer update
+    # (batch_size must divide evenly).  The memory lever for effective
+    # batch sizes whose activations don't fit HBM; the accumulated
+    # gradient equals the full-batch valid-weighted loss gradient
+    # (training/steps.py).  1 = off (reference semantics).
+    grad_accum: int = 1
     # "replicated" (plain DP) | "fsdp" (ZeRO-3 style: params + Adam
     # moments shard over the data axis; composes with a model axis)
     param_sharding: str = "replicated"

@@ -36,11 +36,92 @@ def predictions_to_keypoints(pred_params: jax.Array
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     l_weight_3d: float, l_weight_2d: float,
-                    pl_reg: bool = False, ema_reset_compat: bool = True
+                    pl_reg: bool = False, ema_reset_compat: bool = True,
+                    grad_accum: int = 1
                     ) -> Callable[[TrainState, Dict[str, jax.Array]],
                                   Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the fused train step for any encoder with the
-    ``(pred, feat_visual[, pl_grad])`` output contract."""
+    ``(pred, feat_visual[, pl_grad])`` output contract.
+
+    ``grad_accum > 1`` runs the forward/backward over that many
+    sequential microbatches (``lax.scan``) and applies ONE optimizer
+    update — the standard memory lever for batch sizes whose
+    activations don't fit HBM.  Each microbatch's gradient is weighted
+    by its share of the batch's valid samples, so the accumulated
+    gradient equals the full-batch valid-weighted loss gradient
+    exactly (not just approximately) when the losses are the
+    keypoint terms; BN statistics and the PL-EMA thread through the
+    microbatches sequentially (same semantics as torch grad accum).
+    """
+
+    def _loss_fn(params, batch_stats, pl_mean, constants, images,
+                 labels, valid, mask_key, dropout_key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if constants:
+            variables["constants"] = constants
+        outputs, mutated = model.apply(
+            variables, images, train=True,
+            rngs={"mask": mask_key, "dropout": dropout_key},
+            mutable=["batch_stats"])
+        # Output contracts: (pred, fmap[, attn][, pl_grad]) — the
+        # coarse head inserts attn (reference hand_net.py:306-311);
+        # pl_grad is always last when pl_reg is on.
+        if not isinstance(outputs, tuple):
+            outputs = (outputs,)
+        pred = outputs[0]
+        pl_grad = outputs[-1] if pl_reg else None
+        _, j3d, j2d = predictions_to_keypoints(pred)
+        breakdown, new_pl = losses_lib.scat_loss(
+            j3d.reshape(-1, 63), j2d.reshape(-1, 42), labels,
+            l_weight_3d, l_weight_2d, valid=valid, pl_grad=pl_grad,
+            pl_mean_state=pl_mean, ema_reset_compat=ema_reset_compat)
+        return breakdown.total, (mutated["batch_stats"], breakdown,
+                                 new_pl, (j3d[0], j2d[0]))
+
+    grad_fn = jax.grad(_loss_fn, has_aux=True)
+
+    def _accum_grads(state: TrainState, images, labels, valid,
+                     mask_key, dropout_key):
+        """(grads, new_bs, breakdown, new_pl, pred0) over microbatches."""
+        n = images.shape[0]
+        if n % grad_accum:
+            raise ValueError(
+                f"batch size {n} is not divisible by "
+                f"--grad_accum {grad_accum}")
+        m = n // grad_accum
+        split = lambda x: x.reshape((grad_accum, m) + x.shape[1:])
+        # weight each microbatch by its share of the batch's valid
+        # samples: sum_i (sv_i/SV) * grad(masked_mean_i) is EXACTLY the
+        # gradient of the full-batch valid-weighted mean
+        sv_total = jnp.maximum(jnp.sum(valid), 1.0)
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(jnp.shape(p), jnp.result_type(p)),
+            state.params)
+
+        def body(carry, xs):
+            grads_acc, bs, pl_mean, i = carry
+            im, lb, vd = xs
+            grads, (new_bs, breakdown, new_pl, pred0) = grad_fn(
+                state.params, bs, pl_mean, state.constants, im, lb, vd,
+                jax.random.fold_in(mask_key, i),
+                jax.random.fold_in(dropout_key, i))
+            w = jnp.sum(vd) / sv_total
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + w * g.astype(a.dtype), grads_acc, grads)
+            ys = (w * breakdown.total, w * breakdown.l_3d,
+                  w * breakdown.l_2d, w * breakdown.l_pl, pred0)
+            return (grads_acc, new_bs, new_pl, i + 1), ys
+
+        init = (zeros, state.batch_stats, state.pl_mean,
+                jnp.zeros((), jnp.int32))
+        (grads, new_bs, new_pl, _), ys = jax.lax.scan(
+            body, init, (split(images), split(labels), split(valid)))
+        breakdown = losses_lib.LossBreakdown(
+            jnp.sum(ys[0]), jnp.sum(ys[1]), jnp.sum(ys[2]),
+            jnp.sum(ys[3]))
+        # sample 0 of microbatch 0 == the batch's sample 0
+        pred0 = jax.tree_util.tree_map(lambda x: x[0], ys[4])
+        return grads, new_bs, breakdown, new_pl, pred0
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         images, labels = batch["image"], batch["label"]
@@ -49,33 +130,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
             valid = metrics_lib.valid_sample_mask(images)
         mask_key, dropout_key, new_rng = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
-            variables = {"params": params,
-                         "batch_stats": state.batch_stats}
-            if state.constants:
-                variables["constants"] = state.constants
-            outputs, mutated = model.apply(
-                variables, images, train=True,
-                rngs={"mask": mask_key, "dropout": dropout_key},
-                mutable=["batch_stats"])
-            # Output contracts: (pred, fmap[, attn][, pl_grad]) — the
-            # coarse head inserts attn (reference hand_net.py:306-311);
-            # pl_grad is always last when pl_reg is on.
-            if not isinstance(outputs, tuple):
-                outputs = (outputs,)
-            pred = outputs[0]
-            pl_grad = outputs[-1] if pl_reg else None
-            _, j3d, j2d = predictions_to_keypoints(pred)
-            breakdown, new_pl = losses_lib.scat_loss(
-                j3d.reshape(-1, 63), j2d.reshape(-1, 42), labels,
-                l_weight_3d, l_weight_2d, valid=valid, pl_grad=pl_grad,
-                pl_mean_state=state.pl_mean,
-                ema_reset_compat=ema_reset_compat)
-            return breakdown.total, (mutated["batch_stats"], breakdown,
-                                     new_pl, (j3d[0], j2d[0]))
-
-        grads, (new_bs, breakdown, new_pl, pred0) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        if grad_accum > 1:
+            grads, new_bs, breakdown, new_pl, pred0 = _accum_grads(
+                state, images, labels, valid, mask_key, dropout_key)
+        else:
+            grads, (new_bs, breakdown, new_pl, pred0) = grad_fn(
+                state.params, state.batch_stats, state.pl_mean,
+                state.constants, images, labels, valid, mask_key,
+                dropout_key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

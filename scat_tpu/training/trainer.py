@@ -158,9 +158,14 @@ class Trainer:
             else:
                 self.success_load = False
 
+        if opt.grad_accum < 1 or opt.batch_size % opt.grad_accum:
+            raise ValueError(
+                f"--grad_accum {opt.grad_accum} must be >= 1 and divide "
+                f"--batch_size {opt.batch_size}")
         raw_step = steps.make_train_step(
             self.model, self.tx, self.l_weight_3d, self.l_weight_2d,
-            pl_reg=self.pl, ema_reset_compat=opt.compat_pl_ema_reset)
+            pl_reg=self.pl, ema_reset_compat=opt.compat_pl_ema_reset,
+            grad_accum=opt.grad_accum)
         if opt.param_sharding not in ("replicated", "fsdp"):
             raise ValueError(
                 f"--param_sharding {opt.param_sharding!r}: expected "
