@@ -106,6 +106,38 @@ def test_accum_stats_shapes_match_plain_step():
 
 
 @pytest.mark.slow
+def test_accum_composes_with_pl_reg():
+    """--pl_reg differentiates through the model's in-graph vjp probe;
+    under accumulation that double-backward sits inside the lax.scan
+    body — must still compile and the PL EMA state must thread through
+    microbatches (the on-chip canonical ablation runs both flags)."""
+    from scat_tpu import assets
+    from scat_tpu.models.hand_net import EncoderTransformer
+
+    mean = assets.load_mean_params()
+    model = EncoderTransformer(mean_params=jnp.asarray(mean),
+                               iteration=1, heads=2, depth=3,
+                               backbone="resnet18", mask_rate=0.2,
+                               token_dim=16, pl_reg=True)
+    batch = synth_batch(jax.random.key(0), 8, image_size=32,
+                        mean_params=mean)
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        batch["image"])
+    tx = schedule.make_optimizer(1e-3, steps_per_epoch=1)
+    state = TrainState.create(variables["params"],
+                              variables["batch_stats"], tx,
+                              jax.random.key(2))
+    step = jax.jit(steps.make_train_step(model, tx, 1e5, 10.0,
+                                         pl_reg=True, grad_accum=2))
+    new_state, stats = step(state, batch)
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["loss_pl"]))
+    # the EMA carry advanced (threading through both microbatches)
+    assert float(new_state.pl_mean) != float(state.pl_mean)
+
+
+@pytest.mark.slow
 def test_accum_flagship_on_mesh():
     """grad_accum composes with the data-parallel mesh: the sharded
     batch reshapes to (accum, micro, ...) inside the jitted step and the
