@@ -141,8 +141,11 @@ class Options:
     # gradient accumulation: microbatches per optimizer update
     # (batch_size must divide evenly).  The memory lever for effective
     # batch sizes whose activations don't fit HBM; the accumulated
-    # gradient equals the full-batch valid-weighted loss gradient
-    # (training/steps.py).  1 = off (reference semantics).
+    # KEYPOINT gradient equals the full-batch valid-weighted loss
+    # gradient exactly; the --pl_reg statistic becomes per-microbatch
+    # (between-microbatch PL variance is not representable under
+    # accumulation — see training/steps.py).  1 = off (reference
+    # semantics).
     grad_accum: int = 1
     # "replicated" (plain DP) | "fsdp" (ZeRO-3 style: params + Adam
     # moments shard over the data axis; composes with a model axis)

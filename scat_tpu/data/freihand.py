@@ -149,6 +149,7 @@ class FreiHANDDataset:
             from scat_tpu.data import native_loader
             use_native = native_loader.available()
         self.use_native = use_native and self._frames_are_224()
+        self._warned_native_fallback = False
 
     def _frames_are_224(self) -> bool:
         if self.n_images == 0:
@@ -228,6 +229,28 @@ class FreiHANDDataset:
                 images, valid = native_loader.load_batch(
                     [self._image_path(i) for i in idxs], 224, 224,
                     identity)
+                # The 224-gate probes only frame 0: a mixed tree (e.g.
+                # greenscreen copies at another size) would otherwise
+                # silently LOSE every non-224 frame to valid=0 here.
+                # Re-decode native rejects through the PIL+resize path
+                # (with the 2D-label rescale); only frames PIL also
+                # can't read stay masked out.
+                for n in np.flatnonzero(valid == 0):
+                    try:
+                        im, sx, sy = self._load_image_scaled(idxs[n])
+                    except OSError:
+                        continue
+                    if sx != 1.0 or sy != 1.0:
+                        j2 = labels[n, 124:166].reshape(21, 2)
+                        labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
+                    images[n] = im.astype(np.float32) / 127.5 - 1.0
+                    valid[n] = 1.0
+                    if not self._warned_native_fallback:
+                        self._warned_native_fallback = True
+                        print("[FreiHAND] native decode rejected "
+                              f"{self._image_path(idxs[n])} (size or "
+                              "format); using the PIL path for such "
+                              "frames this run")
             else:
                 loaded = [self._load_image_scaled(i) for i in idxs]
                 imgs = np.stack([im for im, _, _ in loaded])

@@ -129,13 +129,17 @@ def get_loader_ho3d(stage: str = "training", bs: int = 32,
             if probe.samples:
                 probe.sample_labels(probe.samples[0][1])
                 split = "evaluation"
-        except (KeyError, TypeError, ValueError, IndexError) as e:
-            # exactly the unlabeled-split signatures: missing keys
-            # (KeyError), handJoints3D None (TypeError on asarray),
-            # wrist-only (3,) arrays (IndexError on the joint reorder)
-            print("[ho3d] evaluation split present but unlabeled "
-                  f"({type(e).__name__}: {e}); evaluating on the train "
-                  "split like the reference (eval.py:795)")
+        except (KeyError, TypeError, ValueError, IndexError,
+                OSError, EOFError, pickle.UnpicklingError) as e:
+            # unlabeled-split signatures: missing keys (KeyError),
+            # handJoints3D None (TypeError on asarray), wrist-only (3,)
+            # arrays (IndexError on the joint reorder) — plus corrupt
+            # probe metas (truncated/unreadable pkl: OSError, EOFError,
+            # UnpicklingError), which must also fall back to the train
+            # split rather than abort the whole eval
+            print("[ho3d] evaluation split present but unlabeled or "
+                  f"unreadable ({type(e).__name__}: {e}); evaluating on "
+                  "the train split like the reference (eval.py:795)")
     return HO3DDataset(data_dir, split, bs,
                        shuffle=(stage == "training"), seed=opt.seed)
 

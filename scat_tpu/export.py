@@ -9,7 +9,8 @@ directory:
     manifest.json            format/shape/dtype/bucket metadata
     forward_uint8.stablehlo  Exported fn, [b, S, S, 3] uint8 requests
     forward_float32.stablehlo  ... float requests already in [-1, 1]
-    weights.npz              params + batch_stats + constants, flat keys
+    weights.npz              params + batch_stats, flat keys (constants
+                             are baked into the programs, not inputs)
 
 ``load_artifact`` rehydrates it into an ``ExportedPredictor`` whose
 ``predict`` matches ``HandPosePredictor.predict`` (bucketing, padding,
@@ -118,9 +119,13 @@ def export_predictor(predictor: HandPosePredictor, out_dir: str,
                   "wb") as f:
             f.write(exported.serialize())
 
+    # constants (e.g. ViP's frozen FAVOR+ projection) are NOT stored:
+    # _forward closes over them, so they are baked into the StableHLO
+    # blobs and are not call inputs — an npz copy would be dead weight
+    # that misleads readers into editing values the program never reads
+    # (params/batch_stats ARE inputs; editing those in the npz works)
     flat = _flatten(predictor.params, "params")
     flat.update(_flatten(predictor.batch_stats, "batch_stats"))
-    flat.update(_flatten(predictor.constants, "constants"))
     bitcast = {}
     for key, value in list(flat.items()):
         custom = _BITCAST.get(str(value.dtype))
@@ -164,7 +169,6 @@ class ExportedPredictor:
             flat[key] = flat[key].view(dtype)
         self.params = _unflatten(flat, "params")
         self.batch_stats = _unflatten(flat, "batch_stats")
-        self.constants = _unflatten(flat, "constants")
         self._fns = {}
         for name in manifest["dtypes"]:
             with open(os.path.join(path, f"forward_{name}.stablehlo"),

@@ -152,16 +152,22 @@ def fsdp_state(mesh: Mesh, state):
 
     params_sh = sharding_rules.make_fsdp_shardings(state.params, mesh)
     rep = replicated(mesh)
-    # shape+dtype -> param sharding, for the optimizer moments (optax
-    # moments are param-shaped; scalars/counts fall through to rep)
-    lut = {}
-    for p, sh in zip(jax.tree_util.tree_leaves(state.params),
-                     jax.tree_util.tree_leaves(params_sh)):
-        lut.setdefault((p.shape, p.dtype), sh)
+    # Adam moments mirror the params TREE: place them by structure, not
+    # by a (shape, dtype) lookup — on a hybrid FSDP+TP mesh two
+    # same-shaped kernels can carry different TP placements and a
+    # shape-keyed table would pin one param's moments to the other's
+    # sharding.  Any opt-state subtree whose treedef equals the params'
+    # takes the param shardings leaf-for-leaf; every other leaf
+    # (counts, schedule scalars) replicates.
+    params_treedef = jax.tree_util.tree_structure(state.params)
 
-    def place_moment(x):
-        key = (getattr(x, "shape", None), getattr(x, "dtype", None))
-        return jax.device_put(x, lut.get(key, rep))
+    def _is_params_like(x):
+        return (params_treedef.num_leaves > 1
+                and jax.tree_util.tree_structure(x) == params_treedef)
+
+    opt_sh = jax.tree_util.tree_map(
+        lambda x: params_sh if _is_params_like(x) else rep,
+        state.opt_state, is_leaf=_is_params_like)
 
     def place_rep(tree):
         return jax.tree_util.tree_map(
@@ -169,7 +175,9 @@ def fsdp_state(mesh: Mesh, state):
 
     return state.replace(
         params=sharding_rules.shard_params_fsdp(state.params, mesh),
-        opt_state=jax.tree_util.tree_map(place_moment, state.opt_state),
+        opt_state=jax.tree_util.tree_map(
+            lambda x, sh: jax.device_put(x, sh), state.opt_state,
+            opt_sh),
         batch_stats=place_rep(state.batch_stats),
         constants=place_rep(state.constants),
         step=jax.device_put(state.step, rep),

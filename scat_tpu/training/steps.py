@@ -46,16 +46,23 @@ def make_train_step(model, tx: optax.GradientTransformation,
     ``grad_accum > 1`` runs the forward/backward over that many
     sequential microbatches (``lax.scan``) and applies ONE optimizer
     update — the standard memory lever for batch sizes whose
-    activations don't fit HBM.  Each microbatch's gradient is weighted
-    by its share of the batch's valid samples, so the accumulated
-    gradient equals the full-batch valid-weighted loss gradient
-    exactly (not just approximately) when the losses are the
-    keypoint terms; BN statistics and the PL-EMA thread through the
-    microbatches sequentially (same semantics as torch grad accum).
+    activations don't fit HBM.  Each microbatch's KEYPOINT gradient is
+    weighted by its share of the batch's valid samples, so that part of
+    the accumulated gradient equals the full-batch valid-weighted loss
+    gradient exactly (not just approximately).  The PL term is averaged
+    1/A per microbatch instead (the non-accum path applies no valid
+    weighting to it), and its batch statistic necessarily becomes
+    per-microbatch: PL lengths are a within-forward population spread,
+    so between-microbatch variance is not representable under
+    accumulation — l_pl under accum measures spread around each
+    microbatch's own (EMA'd) mean.  BN statistics and the PL-EMA
+    thread through the microbatches sequentially (same semantics as
+    torch grad accum).
     """
 
     def _loss_fn(params, batch_stats, pl_mean, constants, images,
-                 labels, valid, mask_key, dropout_key):
+                 labels, valid, mask_key, dropout_key, w_kp=None,
+                 w_pl=None):
         variables = {"params": params, "batch_stats": batch_stats}
         if constants:
             variables["constants"] = constants
@@ -75,8 +82,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
             j3d.reshape(-1, 63), j2d.reshape(-1, 42), labels,
             l_weight_3d, l_weight_2d, valid=valid, pl_grad=pl_grad,
             pl_mean_state=pl_mean, ema_reset_compat=ema_reset_compat)
-        return breakdown.total, (mutated["batch_stats"], breakdown,
-                                 new_pl, (j3d[0], j2d[0]))
+        total = breakdown.total
+        if w_kp is not None:
+            # per-term microbatch weights (accum path): keypoint terms
+            # by valid share, PL by plain 1/A
+            pl_part = 10.0 * breakdown.l_pl
+            total = w_kp * (total - pl_part) + w_pl * pl_part
+        return total, (mutated["batch_stats"], breakdown,
+                       new_pl, (j3d[0], j2d[0]))
 
     grad_fn = jax.grad(_loss_fn, has_aux=True)
 
@@ -98,18 +111,24 @@ def make_train_step(model, tx: optax.GradientTransformation,
             lambda p: jnp.zeros(jnp.shape(p), jnp.result_type(p)),
             state.params)
 
+        w_pl = 1.0 / grad_accum
+
         def body(carry, xs):
             grads_acc, bs, pl_mean, i = carry
             im, lb, vd = xs
+            w = jnp.sum(vd) / sv_total
+            # weights go INTO the loss so each term's gradient carries
+            # its own weight; the accumulator is then a plain sum
             grads, (new_bs, breakdown, new_pl, pred0) = grad_fn(
                 state.params, bs, pl_mean, state.constants, im, lb, vd,
                 jax.random.fold_in(mask_key, i),
-                jax.random.fold_in(dropout_key, i))
-            w = jnp.sum(vd) / sv_total
+                jax.random.fold_in(dropout_key, i), w, w_pl)
             grads_acc = jax.tree_util.tree_map(
-                lambda a, g: a + w * g.astype(a.dtype), grads_acc, grads)
-            ys = (w * breakdown.total, w * breakdown.l_3d,
-                  w * breakdown.l_2d, w * breakdown.l_pl, pred0)
+                lambda a, g: a + g.astype(a.dtype), grads_acc, grads)
+            ys = (w * (breakdown.total - 10.0 * breakdown.l_pl)
+                  + w_pl * 10.0 * breakdown.l_pl,
+                  w * breakdown.l_3d, w * breakdown.l_2d,
+                  w_pl * breakdown.l_pl, pred0)
             return (grads_acc, new_bs, new_pl, i + 1), ys
 
         init = (zeros, state.batch_stats, state.pl_mean,

@@ -224,6 +224,7 @@ class Trainer:
             # the reference never resets it inside the window
             # (train.py:224-234 ``loss_pl += 10*l_pl``, no /10, no reset)
             running_loss = loss_3d = loss_2d = loss_pl = 0.0
+            window_steps = 0
             t_epoch = time.time()
             n_samples = 0
             # background thread decodes/stages batch i+1 while the
@@ -261,6 +262,7 @@ class Trainer:
                     loss_3d = loss_3d + stats["loss_3d"]
                     loss_2d = loss_2d + stats["loss_2d"]
                     loss_pl = loss_pl + stats["loss_pl"]
+                    window_steps += 1
                 if opt.debug and i % 100 == 0:
                     # one render per firing (the reference re-renders —
                     # and overwrites the same PNG — once per dataset in
@@ -268,6 +270,12 @@ class Trainer:
                     # only one that survives, so render only that)
                     self._debug_visualize(batch, stats)
                 if i % log_every == 0:
+                    # stdout divides by log_every like the reference
+                    # (train.py:231-232) — with a multi-dataset tuple
+                    # that inflates the printed figure by the member
+                    # count, the reference's own quirk.  The CSV is OUR
+                    # surface: it divides by the true step count so
+                    # multi-dataset stages log honest per-step means.
                     print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
                           "2d loss: %.3f, pose length reg: %.3f"
                           % (epoch + 1, i + 1,
@@ -275,16 +283,18 @@ class Trainer:
                              float(loss_3d) / log_every,
                              float(loss_2d) / log_every,
                              float(loss_pl)))
+                    steps_in_window = max(window_steps, 1)
                     logger.log(global_step, {
                         "epoch": epoch + 1,
-                        "loss": float(running_loss) / log_every,
-                        "loss_3d": float(loss_3d) / log_every,
-                        "loss_2d": float(loss_2d) / log_every,
+                        "loss": float(running_loss) / steps_in_window,
+                        "loss_3d": float(loss_3d) / steps_in_window,
+                        "loss_2d": float(loss_2d) / steps_in_window,
                         "loss_pl": float(loss_pl),
                         "samples_per_sec": timer.samples_per_sec,
                         "ms_per_step": timer.ms_per_step,
                     })
                     running_loss = loss_3d = loss_2d = 0.0
+                    window_steps = 0
                     # per-window timing: a lifetime average would
                     # dilute late-training slowdowns and absorb the
                     # checkpoint-save stalls below into step time

@@ -1,6 +1,8 @@
 """AOT export roundtrip: the StableHLO artifact must serve exactly what
 the live predictor serves, without model code or a checkpoint."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -75,9 +77,13 @@ def test_export_vip_bakes_constants(tmp_path, rng):
     opt = Options(net="ViP", iteration=1, compute_dtype="float32",
                   checkpoint_path_eval="/nonexistent")
     p = HandPosePredictor.from_checkpoint(opt, image_size=32)
-    assert p.constants  # the collection exists and rode along
+    assert p.constants  # the live predictor carries the collection
     out_dir = str(tmp_path / "vip")
     export_predictor(p, out_dir)
+    # constants are closure-baked into the StableHLO, NOT npz inputs —
+    # storing a second (never-read) copy would mislead weight editors
+    with np.load(os.path.join(out_dir, "weights.npz")) as data:
+        assert not [k for k in data.files if k.startswith("constants")]
     loaded = load_artifact(out_dir)
     imgs = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
     live = p.predict(imgs)

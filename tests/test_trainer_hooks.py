@@ -160,3 +160,43 @@ def test_profile_trace_capture(tmp_path):
     Trainer(opt, image_size=64).train()
     dumps = list(trace_dir.glob("plugins/profile/*/*"))
     assert dumps, f"no profiler dump under {trace_dir}"
+
+
+@pytest.mark.slow
+def test_multi_dataset_csv_logs_per_step_mean(tmp_path, monkeypatch):
+    """With a ConcatDataset tuple the CSV 'loss' must be the PER-STEP
+    mean (divide by steps in the window), not the reference's
+    print-quirk of dividing by log_every (which inflates by the member
+    count, train.py:224-234).  Stub the train step to a fixed loss so
+    the expected mean is exact."""
+    monkeypatch.chdir(tmp_path)
+    from scat_tpu.data.multi import ConcatDataset
+    from scat_tpu.data.synthetic import SyntheticDataset
+    from scat_tpu.training.trainer import Trainer
+    members = [SyntheticDataset(4, num_batches=2, seed=s, image_size=64)
+               for s in (0, 1)]
+    opt = Options(net="reg_transformer", vit_heads=2, iteration=1,
+                  batch_size=4, epoch=1, steps_per_epoch=2,
+                  compute_dtype="float32", use_pallas_attention=False,
+                  log_every=1, synthetic_data=True,
+                  checkpoint_folder=str(tmp_path / "ckpt"))
+    trainer = Trainer(opt, image_size=64, dataset=ConcatDataset(*members))
+
+    def fixed_step(state, batch):
+        return state, {"loss": jnp.asarray(3.0),
+                       "loss_3d": jnp.asarray(2.0),
+                       "loss_2d": jnp.asarray(1.0),
+                       "loss_pl": jnp.asarray(0.0),
+                       "valid_frac": jnp.asarray(1.0),
+                       "pred0_3d": jnp.zeros((21, 3)),
+                       "pred0_2d": jnp.zeros((21, 2))}
+
+    trainer.train_step = fixed_step
+    trainer.train()
+    lines = (tmp_path / "ckpt" / "metrics.csv").read_text().splitlines()
+    header = lines[0].split(",")
+    row = dict(zip(header, lines[1].split(",")))
+    # 2 members x fixed loss 3.0 in a 1-outer-iteration window: the
+    # honest per-step mean is 3.0; the log_every divisor would say 6.0
+    assert abs(float(row["loss"]) - 3.0) < 1e-6, row
+    assert abs(float(row["loss_3d"]) - 2.0) < 1e-6, row
