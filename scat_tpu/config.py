@@ -157,6 +157,9 @@ class Options:
     # starting after compilation settles
     profile_trace_dir: str = ""
     profile_trace_steps: int = 20
+    # also mirror the CSV metrics into TensorBoard event files (the
+    # writer the reference left as a comment, train.py:233)
+    tensorboard: bool = False
 
     # Derived / runtime-only
     def mesh_axes(self) -> Tuple[Tuple[str, int], ...]:
@@ -172,7 +175,7 @@ _BOOL_FIELDS = (
     "pl_reg", "motion_blur", "rotation",
     # tpu extensions
     "use_pallas_attention", "use_pallas_favor", "synthetic_data",
-    "compat_argparse_bool",
+    "tensorboard", "compat_argparse_bool",
     "compat_pl_ema_reset", "compat_pck_flat", "donate_state",
 )
 

@@ -139,7 +139,9 @@ class Evaluator:
             loader = make_dataset(opt, 224, training=False)
 
         from scat_tpu.utils.logging import MetricsLogger
-        logger = MetricsLogger(self.result_dir, filename="eval_metrics.csv")
+        logger = MetricsLogger(self.result_dir,
+                               filename="eval_metrics.csv",
+                               tensorboard=self.opt.tensorboard)
         pck_all = np.zeros((len(RNGE), 22))
         mpjpe_chunks = []
         auc_3d = []

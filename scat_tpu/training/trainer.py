@@ -207,7 +207,8 @@ class Trainer:
         from scat_tpu.data.prefetch import prefetch_to_device
         from scat_tpu.utils.logging import MetricsLogger
         from scat_tpu.utils.profiling import StepTimer, TraceWindow
-        logger = MetricsLogger(opt.checkpoint_folder)
+        logger = MetricsLogger(opt.checkpoint_folder,
+                               tensorboard=opt.tensorboard)
         timer = StepTimer(self.batch_size)
         # --profile_trace_dir: one steady-state jax.profiler capture
         # (the reference's t0..t6 wall-clocks are collected and never

@@ -56,6 +56,28 @@ def test_metrics_logger(tmp_path):
     assert len(content) == 3
 
 
+def test_metrics_logger_tensorboard(tmp_path):
+    """--tensorboard mirrors the CSV scalars into TB event files (the
+    reference's commented-out writer, train.py:233) and skips NaN
+    points; absence of tensorboardX must degrade to CSV-only."""
+    pytest.importorskip("tensorboardX")
+    lg = log_lib.MetricsLogger(str(tmp_path), tensorboard=True)
+    lg.log(1, {"loss": 2.0, "mpjpe_mm": float("nan")})
+    lg.log(2, {"loss": 1.5, "mpjpe_mm": 11.0})
+    lg.close()
+    assert (tmp_path / "metrics.csv").exists()
+    events = list((tmp_path / "tb" / "metrics").glob("events.out.*"))
+    assert events and events[0].stat().st_size > 0
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    acc = EventAccumulator(str(tmp_path / "tb" / "metrics"))
+    acc.Reload()
+    losses = acc.Scalars("loss")
+    assert [s.step for s in losses] == [1, 2]
+    assert [s.value for s in losses] == [2.0, 1.5]
+    assert len(acc.Scalars("mpjpe_mm")) == 1  # NaN point skipped
+
+
 def test_software_renderer(rng):
     from scat_tpu import assets
     from scat_tpu.viz.render import Renderer
