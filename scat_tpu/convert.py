@@ -9,7 +9,7 @@ test_backbone_parity.py, test_vit_vip_parity.py):
   # our orbax checkpoint -> torch state_dict the reference loads with
   # net.load_state_dict(..., strict=False)  (reference train.py:66-75)
   python -m scat_tpu.convert --direction to_pth --net reg_transformer \
-      --checkpoint_hand experiments/run1/hand_net_final \
+      --checkpoint_path_eval experiments/run1/hand_net_final \
       --convert_out hand_net_final.pth
 
   # reference .pth -> orbax full train state (optimizer state fresh,
@@ -82,14 +82,10 @@ def to_pth(opt: Options, out_path: str, image_size: int = 224) -> int:
             f"--checkpoint_path_eval {opt.checkpoint_path_eval!r} "
             "does not exist")
     variables = _init_variables(opt, image_size)
-    params, batch_stats = ckpt_lib.restore_variables_nonstrict(
+    params, batch_stats, constants = ckpt_lib.restore_variables_nonstrict(
         opt.checkpoint_path_eval, variables["params"],
-        variables.get("batch_stats", {}))
-    constants = dict(variables.get("constants", {}))
-    if constants and not opt.checkpoint_path_eval.endswith(".pth"):
-        constants = ckpt_lib.restore_params_nonstrict(
-            opt.checkpoint_path_eval, constants, key="constants",
-            quiet=True)
+        variables.get("batch_stats", {}),
+        constants=dict(variables.get("constants", {})))
     sd = state_dict_for_net(opt.net, params, batch_stats, constants,
                             depth=opt.vit_depth)
     # np.array copy: torch refuses to own non-writable (jax-backed)

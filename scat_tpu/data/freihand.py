@@ -202,6 +202,16 @@ class FreiHANDDataset:
     def _load_image(self, index: int) -> np.ndarray:
         return self._load_image_scaled(index)[0]
 
+    @staticmethod
+    def _rescale_2d_labels(labels: np.ndarray, n: int,
+                           sx: float, sy: float) -> None:
+        """Apply the image-resize factors to row ``n``'s 2D pixel
+        targets (the [124:166] slice of the 166-wide layout) in place —
+        one definition for both the native-fallback and PIL branches."""
+        if sx != 1.0 or sy != 1.0:
+            j2 = labels[n, 124:166].reshape(21, 2)
+            labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         from scat_tpu.data.common import EPOCH_STRIDE, epoch_order
         from scat_tpu.data.preprocess import color_jitter_np
@@ -240,9 +250,7 @@ class FreiHANDDataset:
                         im, sx, sy = self._load_image_scaled(idxs[n])
                     except OSError:
                         continue
-                    if sx != 1.0 or sy != 1.0:
-                        j2 = labels[n, 124:166].reshape(21, 2)
-                        labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
+                    self._rescale_2d_labels(labels, n, sx, sy)
                     images[n] = im.astype(np.float32) / 127.5 - 1.0
                     valid[n] = 1.0
                     if not self._warned_native_fallback:
@@ -255,11 +263,7 @@ class FreiHANDDataset:
                 loaded = [self._load_image_scaled(i) for i in idxs]
                 imgs = np.stack([im for im, _, _ in loaded])
                 for n, (_, sx, sy) in enumerate(loaded):
-                    if sx != 1.0 or sy != 1.0:
-                        # 2D targets live at [124:166] in original
-                        # pixels; rescale them with the image
-                        j2 = labels[n, 124:166].reshape(21, 2)
-                        labels[n, 124:166] = (j2 * (sx, sy)).reshape(42)
+                    self._rescale_2d_labels(labels, n, sx, sy)
                 images = imgs.astype(np.float32) / 127.5 - 1.0
                 valid = np.ones((B,), np.float32)
             if self.color_jitter:

@@ -74,21 +74,17 @@ class Evaluator:
                  "mask": jax.random.key(1),
                  "dropout": jax.random.key(2)}, sample, train=False)
             variables = dict(variables)
-            p, bs = ckpt_lib.restore_variables_nonstrict(
+            # ViP's frozen FAVOR+ projection is part of the saved
+            # TrainState — evaluating with a re-drawn one would
+            # silently use the wrong feature map; it merges from the
+            # same single checkpoint read as params/BN stats
+            p, bs, c = ckpt_lib.restore_variables_nonstrict(
                 opt.checkpoint_path_eval, variables["params"],
-                variables.get("batch_stats", {}))
+                variables.get("batch_stats", {}),
+                constants=dict(variables.get("constants", {})))
             variables["params"] = p
             variables["batch_stats"] = bs
-            if variables.get("constants") and \
-                    not opt.checkpoint_path_eval.endswith(".pth"):
-                # ViP's frozen FAVOR+ projection is part of the saved
-                # TrainState — evaluating with a re-drawn one would
-                # silently use the wrong feature map
-                variables["constants"] = \
-                    ckpt_lib.restore_params_nonstrict(
-                        opt.checkpoint_path_eval,
-                        variables["constants"], key="constants",
-                        quiet=True)
+            variables["constants"] = c
         check_eval_variables(opt, variables)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})

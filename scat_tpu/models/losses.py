@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 
 
+# the reference's fixed x10 PL-term weight (train.py:200-201); shared
+# so the accumulation path's total-decomposition (training/steps.py)
+# cannot drift from scat_loss's composition
+PL_WEIGHT = 10.0
+
+
 class LabelViews(NamedTuple):
     joints_3d: jax.Array  # [B, 63]
     joints_2d: jax.Array  # [B, 42]
@@ -97,7 +103,7 @@ def scat_loss(pred_joints_3d: jax.Array, pred_joints_2d_px: jax.Array,
               pl_grad: Optional[jax.Array] = None,
               pl_mean_state: Optional[jax.Array] = None,
               ema_reset_compat: bool = True,
-              pl_weight: float = 10.0
+              pl_weight: float = PL_WEIGHT
               ) -> Tuple[LossBreakdown, jax.Array]:
     """Full SCAT training loss (reference train.py:176-203).
 

@@ -8,7 +8,7 @@ at all (its closest analogue writes PNGs from a local loop,
 ``/root/reference/test.py:272-439``).
 
 Endpoints:
-  GET  /healthz   liveness + model metadata (also warms on first call)
+  GET  /healthz   liveness + model metadata
   POST /predict   body = raw crop bytes, headers:
                     X-Shape: N,H,W,3         (comma-separated ints)
                     X-Dtype: uint8 | float32 (uint8 [0,255] or
@@ -148,6 +148,7 @@ class _Handler(BaseHTTPRequestHandler):
     # dispatcher owns the device — only used as a context manager
     lock = None
     model_info: dict = None
+    max_request_batch: int = 256
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -181,6 +182,15 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(
                     f"X-Shape must be N,{size},{size},3 with N>=1, "
                     f"got {shape}")
+            if shape[0] > self.max_request_batch:
+                # bound host memory per request: the predictor chunks
+                # device work internally, but the body is buffered in
+                # full here (a declared N of 10^6 would read ~150 GB)
+                self.close_connection = True  # body was never read
+                return self._send(413, {
+                    "error": f"batch {shape[0]} exceeds the server "
+                             f"limit {self.max_request_batch}; split "
+                             "the request"})
             n_bytes = int(self.headers.get("Content-Length", 0))
             expected = int(np.prod(shape)) * np.dtype(dtype).itemsize
             if n_bytes != expected:
@@ -203,14 +213,16 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
-                model_info: dict = None, batch_window_ms: float = 0.0
-                ) -> ThreadingHTTPServer:
+                model_info: dict = None, batch_window_ms: float = 0.0,
+                max_request_batch: int = 256) -> ThreadingHTTPServer:
     """Build (not start) the server; caller runs ``serve_forever()``.
 
     ``predictor``: anything with ``predict(images) -> dict`` and an
     ``image_size`` attribute.  ``batch_window_ms`` > 0 turns on
     micro-batching: concurrent requests arriving within the window
-    coalesce into one device batch (see :class:`MicroBatcher`)."""
+    coalesce into one device batch (see :class:`MicroBatcher`).
+    ``max_request_batch`` caps the declared N of one request (the body
+    is buffered whole on the host); larger requests get HTTP 413."""
     batcher = None
     if batch_window_ms > 0:
         predictor = batcher = MicroBatcher(predictor,
@@ -224,6 +236,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
         "lock": lock,
         "model_info": {"image_size": predictor.image_size,
                        **(model_info or {})},
+        "max_request_batch": int(max_request_batch),
     })
     httpd = _ScatHTTPServer((host, port), handler)
     httpd.batcher = batcher
@@ -258,6 +271,9 @@ def main(argv=None) -> None:
     peel.add_argument("--batch_window_ms", type=float, default=0.0,
                       help="coalesce concurrent requests arriving "
                            "within this window into one device batch")
+    peel.add_argument("--max_request_batch", type=int, default=256,
+                      help="largest per-request batch N accepted; "
+                           "bigger requests get HTTP 413")
     server_opt, rest = peel.parse_known_args(
         sys.argv[1:] if argv is None else argv)
 
@@ -274,7 +290,8 @@ def main(argv=None) -> None:
 
     httpd = make_server(predictor, server_opt.server_host,
                         server_opt.server_port, info,
-                        batch_window_ms=server_opt.batch_window_ms)
+                        batch_window_ms=server_opt.batch_window_ms,
+                        max_request_batch=server_opt.max_request_batch)
     # compile the bucket set before accepting traffic
     if hasattr(predictor, "warmup"):
         predictor.warmup()

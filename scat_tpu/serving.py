@@ -118,19 +118,15 @@ class HandPosePredictor:
             variables = dict(variables)
             # variables-level restore: handles reference ``.pth`` files
             # AND loads the trained BN running stats (params-only
-            # loading would silently serve with init normalization)
-            p_, bs_ = ckpt_lib.restore_variables_nonstrict(
+            # loading would silently serve with init normalization);
+            # ViP's frozen FAVOR+ projection rides the same single read
+            p_, bs_, c_ = ckpt_lib.restore_variables_nonstrict(
                 opt.checkpoint_path_eval, variables["params"],
-                variables.get("batch_stats", {}))
+                variables.get("batch_stats", {}),
+                constants=dict(variables.get("constants", {})))
             variables["params"] = p_
             variables["batch_stats"] = bs_
-            if variables.get("constants") and \
-                    not opt.checkpoint_path_eval.endswith(".pth"):
-                variables["constants"] = \
-                    ckpt_lib.restore_params_nonstrict(
-                        opt.checkpoint_path_eval,
-                        variables["constants"], key="constants",
-                        quiet=True)
+            variables["constants"] = c_
         return cls(model=model, params=variables["params"],
                    batch_stats=variables.get("batch_stats", {}),
                    image_size=image_size, mesh=mesh,
@@ -188,7 +184,12 @@ class HandPosePredictor:
         self._buckets = [1 if self.mesh is None
                          else self.mesh.shape[mesh_lib.DATA_AXIS]]
         while self._buckets[-1] < self.max_batch:
-            self._buckets.append(self._buckets[-1] * 2)
+            # clamp the top bucket to max_batch: with a non-power-of-two
+            # data axis (or max_batch), plain doubling would overshoot
+            # the configured HBM cap (e.g. axis 6, cap 60 -> ...48, 96).
+            # max_batch is already a data-axis multiple (rounded above).
+            self._buckets.append(min(self._buckets[-1] * 2,
+                                     self.max_batch))
 
     def _bucket(self, n: int) -> int:
         return pick_bucket(n, self._buckets)

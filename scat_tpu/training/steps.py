@@ -86,7 +86,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
         if w_kp is not None:
             # per-term microbatch weights (accum path): keypoint terms
             # by valid share, PL by plain 1/A
-            pl_part = 10.0 * breakdown.l_pl
+            pl_part = losses_lib.PL_WEIGHT * breakdown.l_pl
             total = w_kp * (total - pl_part) + w_pl * pl_part
         return total, (mutated["batch_stats"], breakdown,
                        new_pl, (j3d[0], j2d[0]))
@@ -125,8 +125,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 jax.random.fold_in(dropout_key, i), w, w_pl)
             grads_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(a.dtype), grads_acc, grads)
-            ys = (w * (breakdown.total - 10.0 * breakdown.l_pl)
-                  + w_pl * 10.0 * breakdown.l_pl,
+            ys = (w * (breakdown.total
+                       - losses_lib.PL_WEIGHT * breakdown.l_pl)
+                  + w_pl * losses_lib.PL_WEIGHT * breakdown.l_pl,
                   w * breakdown.l_3d, w * breakdown.l_2d,
                   w_pl * breakdown.l_pl, pred0)
             return (grads_acc, new_bs, new_pl, i + 1), ys
@@ -166,7 +167,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
             "loss": breakdown.total,
             "loss_3d": l_weight_3d * breakdown.l_3d,
             "loss_2d": l_weight_2d * breakdown.l_2d,
-            "loss_pl": 10.0 * breakdown.l_pl,
+            "loss_pl": losses_lib.PL_WEIGHT * breakdown.l_pl,
             "valid_frac": valid.mean(),
             # sample 0's predictions for the train-time debug grid
             # (reference train.py:211-222); [21,3]/[21,2] — negligible

@@ -135,16 +135,26 @@ def restore_state(path: str, template: TrainState
 
 
 def restore_variables_nonstrict(path: str, params: Any,
-                                batch_stats: Any = None):
+                                batch_stats: Any = None,
+                                constants: Any = None):
     """Partial load of params AND normalization statistics.
 
     Returns ``(params, batch_stats)``; eval without the trained BN
-    running stats would silently normalize with init values.
+    running stats would silently normalize with init values.  Pass a
+    ``constants`` template (ViP's frozen FAVOR+ projection) to also get
+    ``(params, batch_stats, constants)`` back from the SAME single
+    deserialization — a ``.pth`` or scratch path returns the template
+    unchanged (torch checkpoints carry the projection inside the
+    importer's own keys).
 
     Reference ``.pth`` checkpoints (``--checkpoint_path_eval
     experiments/.../hand_net_final.pth``, eval.sh:5) load directly via
     the torch importers — a reference user's existing weights evaluate
     in this framework unchanged."""
+
+    def ret(p, b, c):
+        return (p, b) if constants is None else (p, b, c)
+
     if path.endswith(".pth"):
         apath = os.path.abspath(path)
         if not os.path.exists(apath):
@@ -152,21 +162,28 @@ def restore_variables_nonstrict(path: str, params: Any,
             # through to evaluating randomly-initialized weights
             raise FileNotFoundError(
                 f"torch checkpoint {apath} does not exist")
-        return _load_pth_into(apath, params, batch_stats)
+        return ret(*_load_pth_into(apath, params, batch_stats),
+                   constants)
     if not path or not os.path.exists(os.path.abspath(path)):
         # scratch path: reuse the single-tree loader's messages
-        return (restore_params_nonstrict(path, params, key="params"),
-                batch_stats)
-    # one deserialization serves both collections (a separate
-    # restore_params_nonstrict per key would read the checkpoint twice)
+        return ret(restore_params_nonstrict(path, params, key="params"),
+                   batch_stats, constants)
+    # one deserialization serves all collections (a separate
+    # restore_params_nonstrict per key would read the checkpoint again
+    # in full — for a ViP checkpoint that doubles the load time)
     loaded = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     new_params, skipped = _merge_nonstrict(
         params, loaded.get("params", loaded))
     _report_skipped(skipped)
-    if batch_stats is None:
-        return new_params, batch_stats
-    new_bs, _ = _merge_nonstrict(batch_stats, loaded.get("batch_stats"))
-    return new_params, new_bs
+    new_bs = batch_stats
+    if batch_stats is not None:
+        new_bs, _ = _merge_nonstrict(batch_stats,
+                                     loaded.get("batch_stats"))
+    new_const = constants
+    if constants:
+        new_const, _ = _merge_nonstrict(constants,
+                                        loaded.get("constants"))
+    return ret(new_params, new_bs, new_const)
 
 
 def restore_params_nonstrict(path: str, params: Any,

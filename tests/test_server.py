@@ -174,3 +174,7 @@ def test_healthz_and_errors(served, rng):
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     conn.request("GET", "/nope")
     assert conn.getresponse().status == 404
+    # oversized declared batch: the body is buffered whole on the host,
+    # so the server must refuse before reading it (413), not OOM
+    status, err = _post(port, b"", (100000, IMG, IMG, 3), "uint8")
+    assert status == 413 and "exceeds" in err["error"]

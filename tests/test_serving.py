@@ -78,6 +78,25 @@ def test_rejects_non_uint8_integers(rng):
         p.predict((rng.rand(2, IMG, IMG, 3) * 255).astype(np.int32))
 
 
+def test_bucket_clamp_respects_max_batch():
+    """Bucket doubling must never exceed max_batch (the configured HBM
+    cap) — including a non-power-of-two cap or mesh data axis, where
+    plain doubling would overshoot (e.g. axis 6: ...48, 96 > 60)."""
+    from scat_tpu.parallel import mesh as mesh_lib
+    p = _predictor()
+    p.max_batch = 6
+    p.__post_init__()
+    assert p._buckets == [1, 2, 4, 6]
+    mesh = mesh_lib.make_mesh((("data", 6),),
+                              devices=jax.devices()[:6])
+    sharded = HandPosePredictor(
+        model=p.model, params=p.params, batch_stats=p.batch_stats,
+        image_size=IMG, mesh=mesh)
+    assert sharded.max_batch == 60  # 64 rounded to the axis multiple
+    assert sharded._buckets[0] == 6 and sharded._buckets[-1] == 60
+    assert all(b % 6 == 0 and b <= 60 for b in sharded._buckets)
+
+
 @pytest.mark.slow
 def test_mesh_predict_matches_single_device(rng):
     """Data-parallel serving over the 8-device mesh must agree with the
