@@ -35,7 +35,7 @@ ALL_NETS = KEYPOINT_NETS + ("backbone_hrnet", "backbone_incepv3",
                             "frankmocap")
 
 
-def bench_net(net: str):
+def bench_net(net: str, roofline: bool = False):
     from scat_tpu.config import Options
     from scat_tpu.data.synthetic import _synth_batch_impl
     from scat_tpu.models import build_model
@@ -137,17 +137,41 @@ def bench_net(net: str):
     train_dt = (time.perf_counter() - t0) / K
     row["train_sps_chip"] = round(BS / train_dt, 1)
     row["train_ms_step"] = round(train_dt * 1000, 2)
+
+    if roofline:
+        # XLA's own accounting of the BARE step (no in-loop datagen):
+        # flops + pre-fusion "bytes accessed" (an upper bound on HBM
+        # traffic), as in probe_backward.py.  Effective TFLOP/s uses
+        # the K-rolled time above, which INCLUDES datagen (~5-10%
+        # padding) — the derived utilization is therefore a floor.
+        try:
+            ca = jax.jit(raw_step).lower(
+                state, batch0).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", float("nan")))
+            nbytes = float(ca.get("bytes accessed", float("nan")))
+            row["step_tflop"] = round(flops / 1e12, 3)
+            row["step_gbytes_accessed"] = round(nbytes / 1e9, 2)
+            row["eff_tflops"] = round(flops / 1e12 / train_dt, 1)
+            row["flops_bound_ms"] = round(flops / 197e12 * 1e3, 2)
+            row["bytes_bound_ms"] = round(nbytes / 820e9 * 1e3, 2)
+        except Exception as e:
+            row["cost_analysis_error"] = str(e)[:500]
     return row
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nets", default=",".join(ALL_NETS))
+    ap.add_argument("--roofline", action="store_true",
+                    help="add XLA cost_analysis (flops / bytes / "
+                         "effective TFLOP/s) per variant")
     args = ap.parse_args()
     rows = []
     for net in args.nets.split(","):
         try:
-            row = bench_net(net.strip())
+            row = bench_net(net.strip(), roofline=args.roofline)
         except Exception as e:  # keep the sweep alive; report the hole
             row = {"net": net, "error": repr(e)[:2000]}
         print(json.dumps(row), flush=True)

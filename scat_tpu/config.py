@@ -121,6 +121,12 @@ class Options:
     # 13.0 ms) scale on v5e (benchmarks/RESULTS.md), so it is opt-in,
     # separate from the flash-attention kernel (which wins and is on).
     use_pallas_favor: bool = False
+    # Rematerialize ViP's performer blocks in the backward: measured
+    # 16% SLOWER but 35% less temp HBM (14.6 -> 9.5 GB at bs 96) —
+    # an OOM-relief lever for large ViP batches, numerically identical
+    # (benchmarks/probe_vip_remat.py; RESULTS.md).  Ignored by the
+    # conv heads, where remat measured slower with no memory pressure.
+    remat_blocks: bool = False
     norm_layer: str = "batch"  # "batch" (parity) | "group" (fast train)
     seed: int = 0
     steps_per_epoch: int = 0          # 0 = derive from dataset length
@@ -174,7 +180,8 @@ _BOOL_FIELDS = (
     "resume", "outside", "use_heatmap", "freeze", "debug", "pos_embed",
     "pl_reg", "motion_blur", "rotation",
     # tpu extensions
-    "use_pallas_attention", "use_pallas_favor", "synthetic_data",
+    "use_pallas_attention", "use_pallas_favor", "remat_blocks",
+    "synthetic_data",
     "tensorboard", "compat_argparse_bool",
     "compat_pl_ema_reset", "compat_pck_flat", "donate_state",
 )

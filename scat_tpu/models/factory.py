@@ -105,6 +105,7 @@ def build_model(opt: Options, image_size: int = 224,
         model = ViP(mean_params=mean_j, image_pix=image_size,
                     iteration=opt.iteration,
                     use_pallas=opt.use_pallas_favor,
+                    remat=opt.remat_blocks,
                     dtype=_dtype(opt))
     else:
         raise ValueError(f"unknown --net {opt.net!r}")

@@ -141,6 +141,13 @@ class ViP(nn.Module):
     dropout: float = 0.1
     iteration: int = 1
     use_pallas: bool = False
+    # rematerialize each block in the backward: ViP's activations are
+    # huge (3137 tokens x 512 dim at 224 px) and its train step runs at
+    # the sum of its flops- and bytes-bounds rather than their max
+    # (benchmarks/RESULTS.md roofline) — recomputing the forward trades
+    # cheap MXU flops for the dominant HBM activation traffic.  The
+    # opposite verdict from the conv heads, where remat measured slower.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,11 +173,15 @@ class ViP(nn.Module):
                          (1, 1, emb))
         tok = jnp.concatenate(
             [jnp.broadcast_to(cls, (b, 1, emb)), tok], axis=1)
+        # nn.remat leaves the parameter tree untouched (same block
+        # names), so checkpoints are interchangeable across the flag
+        block_cls = (nn.remat(PerformerBlock, static_argnums=(2,))
+                     if self.remat else PerformerBlock)
         for i in range(self.depth):
-            tok = PerformerBlock(self.emb_s, self.heads,
-                                 self.kernel_ratio, self.dropout,
-                                 self.use_pallas, self.dtype,
-                                 name=f"block_{i}")(tok, deterministic)
+            tok = block_cls(self.emb_s, self.heads,
+                            self.kernel_ratio, self.dropout,
+                            self.use_pallas, self.dtype,
+                            name=f"block_{i}")(tok, deterministic)
         feat = tok.mean(axis=1).astype(jnp.float32)
         pred = jnp.broadcast_to(
             self.mean_params.astype(jnp.float32)[:self.out_dim],

@@ -89,6 +89,41 @@ def test_vip_variant():
     assert pred.shape == (2, 66)
 
 
+def test_vip_remat_is_numerically_identical(rng):
+    """``ViP(remat=True)`` (the measured train-speed/memory win for
+    this activation-heavy head, benchmarks/probe_vip_remat.py) must be
+    a pure scheduling change: same parameter tree, same forward, same
+    gradients — checkpoints interchangeable across the flag."""
+    from scat_tpu.models.performer import ViP
+    mean = jnp.zeros((66,)).at[0].set(5.0)
+    kw = dict(mean_params=mean, image_pix=32, patch_pix=4, emb_s=16,
+              heads=2, depth=2, iteration=1)
+    m0, m1 = ViP(**kw), ViP(**kw, remat=True)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    v = m0.init({"params": jax.random.key(0),
+                 "dropout": jax.random.key(1)}, x, train=False)
+    assert jax.tree.structure(v["params"]) == jax.tree.structure(
+        m1.init({"params": jax.random.key(0),
+                 "dropout": jax.random.key(1)}, x,
+                train=False)["params"])
+    p0, _ = m0.apply(v, x, train=False)
+    p1, _ = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                               atol=1e-6)
+
+    def loss(params, model):
+        out, _ = model.apply(
+            {"params": params, "constants": v["constants"]}, x,
+            train=True, rngs={"dropout": jax.random.key(2)})
+        return jnp.sum(out ** 2)
+
+    g0 = jax.grad(loss)(v["params"], m0)
+    g1 = jax.grad(loss)(v["params"], m1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_vip_trains_and_checkpoints_constants(tmp_path):
     """ViP's frozen FAVOR+ projection (flax "constants" collection)
     must flow through the REAL train step and survive a checkpoint
