@@ -168,7 +168,8 @@ class FreiHANDDataset:
         return path
 
     def __len__(self) -> int:
-        return self.n_images // self.batch_size
+        from scat_tpu.data.common import num_batches
+        return num_batches(self.n_images, self.batch_size)
 
     def sample_labels(self, index: int):
         uid = index % self.n_unique

@@ -60,7 +60,8 @@ class HO3DDataset:
                     self.samples.append((os.path.join(rgb, f), m))
 
     def __len__(self) -> int:
-        return len(self.samples) // self.batch_size
+        from scat_tpu.data.common import num_batches
+        return num_batches(len(self.samples), self.batch_size)
 
     def sample_labels(self, meta_path: str):
         with open(meta_path, "rb") as f:

@@ -196,7 +196,8 @@ class MHPDataset:
                     self.index += [(si, i) for i in range(s.seq_len())]
 
     def __len__(self) -> int:
-        return len(self.index) // self.batch_size
+        from scat_tpu.data.common import num_batches
+        return num_batches(len(self.index), self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         from scat_tpu.data.common import epoch_order

@@ -72,7 +72,8 @@ class RHDDataset:
                     self.samples.append((idx, hand))
 
     def __len__(self) -> int:
-        return len(self.samples) // self.batch_size
+        from scat_tpu.data.common import num_batches
+        return num_batches(len(self.samples), self.batch_size)
 
     def _load_image(self, idx: int) -> np.ndarray:
         from PIL import Image

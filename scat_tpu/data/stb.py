@@ -184,7 +184,8 @@ class STBDataset:
                          if pose_gts else np.zeros((0, 21, 3), np.float32))
 
     def __len__(self) -> int:
-        return len(self.image_paths) // self.batch_size
+        from scat_tpu.data.common import num_batches
+        return num_batches(len(self.image_paths), self.batch_size)
 
     def _load_image(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -372,8 +373,10 @@ def get_loader_STB(stage: str = "training", bs: int = 128,
 
 def get_loader_STB_eval(opt: Optional[Options] = None) -> STBDataset:
     """reference load_STB.py:355-363."""
+    from scat_tpu.data.common import local_batch_size
     opt = opt or Options()
     return STBDataset("STB_eval", data_dir=opt.data_dir,
-                      batch_size=opt.batch_size, rotation=False,
+                      batch_size=local_batch_size(opt.batch_size),
+                      rotation=False,
                       motion_blur=False, use_heatmap=False, shuffle=False,
                       seed=opt.seed, opt=opt)

@@ -44,13 +44,23 @@ def _synth_batch_impl(key: jax.Array, batch_size: int, image_size: int,
     joints_2d = project_2d(batch_orth_proj_idrot(joints_3d, cam))
 
     # render per-joint-distinct blobs (size + per-channel intensity
-    # encode joint identity, so the 2D assignment is learnable)
+    # encode joint identity, so the 2D assignment is learnable).
+    # The LABELS stay in the 224-px projection contract (project_2d,
+    # geometry.py) at every image_size; the renderer scales the blob
+    # centers onto the actual canvas — otherwise small smoke-test sizes
+    # (e.g. the 32-px multichip dryrun) draw everything off-canvas and
+    # the images are uniformly blank, which turns train-mode BatchNorm
+    # into a var~0 noise amplifier (observed: chaotic cross-topology
+    # divergence in tests/test_multihost.py before this scaling).
+    canvas_scale = image_size / 224.0
+    blob_2d = joints_2d * canvas_scale
     j = jnp.arange(21, dtype=jnp.float32)
-    sigma = (3.0 + 0.35 * j)[None, :, None]
+    sigma = jnp.maximum((3.0 + 0.35 * j) * canvas_scale, 0.75)[None, :,
+                                                               None]
     ys = jnp.arange(image_size, dtype=jnp.float32)
     xs = jnp.arange(image_size, dtype=jnp.float32)
-    dy = ys[None, None, :] - joints_2d[:, :, 1:2]   # [B,21,H]
-    dx = xs[None, None, :] - joints_2d[:, :, 0:1]   # [B,21,W]
+    dy = ys[None, None, :] - blob_2d[:, :, 1:2]   # [B,21,H]
+    dx = xs[None, None, :] - blob_2d[:, :, 0:1]   # [B,21,W]
     gy = jnp.exp(-(dy ** 2) / (2 * sigma ** 2))
     gx = jnp.exp(-(dx ** 2) / (2 * sigma ** 2))
     chan = jnp.stack([0.3 + 0.7 * jnp.cos(j) ** 2,
@@ -100,6 +110,13 @@ class SyntheticDataset:
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         base = jax.random.key(self.seed)
+        # multi-host: each process draws a disjoint stream (its batch is
+        # this host's shard of the global batch; identical streams would
+        # train on duplicated data)
+        from scat_tpu.data.common import _process_topology
+        pi, pc = _process_topology()
+        if pc > 1:
+            base = jax.random.fold_in(base, pi)
         for i in range(self.num_batches):
             yield synth_batch(jax.random.fold_in(base, i),
                               self.batch_size, self.image_size,

@@ -134,6 +134,16 @@ class Evaluator:
                    else _dc.replace(self.opt, eval_dataset=eval_dataset))
             loader = make_dataset(opt, 224, training=False)
 
+        import jax
+        if jax.process_count() > 1:
+            # loaders host-shard every epoch (data/common.py), so each
+            # process sees a disjoint 1/process_count of the eval set;
+            # cross-host metric aggregation is not wired — run eval
+            # single-host for full-set numbers
+            print(f"[eval] NOTE: {jax.process_count()} processes — "
+                  "metrics below cover THIS host's shard of the eval "
+                  "set only")
+
         from scat_tpu.utils.logging import MetricsLogger
         logger = MetricsLogger(self.result_dir,
                                filename="eval_metrics.csv",

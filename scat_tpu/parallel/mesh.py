@@ -91,18 +91,87 @@ def pad_batch_to_multiple(batch, multiple: int):
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree onto the mesh, batch-axis sharded.
     Batches whose leading dim doesn't divide the data axis are padded
-    with masked samples."""
+    with masked samples.
+
+    Multi-host: ``batch`` is this PROCESS'S SHARD of the logical batch
+    (each host's loader walks a disjoint ``data.common.host_shard`` of
+    the epoch; ``data.common.local_batch_size`` sizes it).  The shards
+    assemble into one global array via explicit per-device H2D copies
+    (``_assemble_global``) — no cross-host copy; each host's rows land
+    on its own devices, in ``jax.devices()`` process order.  A plain
+    ``device_put`` would be wrong here: the sharding spans devices this
+    process cannot address.
+    """
+    pc = jax.process_count()
+    data_size = mesh.shape[DATA_AXIS]
+    if pc > 1 and data_size % pc:
+        raise ValueError(
+            f"data axis ({data_size}) must divide evenly over "
+            f"{pc} processes")
+    local_shards = data_size // pc if pc > 1 else data_size
     if isinstance(batch, dict):
-        batch = pad_batch_to_multiple(batch, mesh.shape[DATA_AXIS])
+        # pad the LOCAL batch to the local shard count — every host
+        # pads identically (uniform local batch), keeping per-device
+        # shard shapes globally consistent
+        batch = pad_batch_to_multiple(batch, local_shards)
     sh = batch_sharding(mesh)
+    if pc > 1:
+        # assemble from explicit per-device H2D copies — GUARANTEED
+        # collective-free.  make_array_from_process_local_data may
+        # decide to reshard (a compiled program WITH collectives); the
+        # prefetch thread calls this concurrently with the train step's
+        # collectives, and two programs' collectives interleaving across
+        # processes in different orders crosses their payloads (observed
+        # as Gloo 'received data size doesn't match expected size').
+        return jax.tree_util.tree_map(
+            lambda x: _assemble_global(sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
 
 
+def _assemble_global(sh: NamedSharding, local: np.ndarray):
+    """Build a global batch-sharded array from this process's local
+    rows: slice per addressable device, H2D each slice, wrap with
+    ``make_array_from_single_device_arrays``.  No compiled program, no
+    collective — safe to run on a background thread."""
+    pc = jax.process_count()
+    global_shape = (local.shape[0] * pc,) + local.shape[1:]
+    imap = sh.addressable_devices_indices_map(global_shape)
+    # this process owns a contiguous row block in jax.devices() order;
+    # rebase the global row indices onto the local array
+    base = min((idx[0].start or 0) for idx in imap.values())
+    bufs = [
+        jax.device_put(local[(idx[0].start or 0) - base:
+                             idx[0].stop - base], d)
+        for d, idx in imap.items()]
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sh, bufs)
+
+
 def replicate_state(mesh: Mesh, state):
-    """Replicate a train-state pytree across the mesh."""
+    """Replicate a train-state pytree across the mesh.
+
+    Multi-host: every process holds the same host-side state (same init
+    seed), and each leaf becomes one global replicated array.
+    ``device_put`` onto a sharding spanning non-addressable devices
+    accepts HOST values but not committed device arrays, so leaves are
+    converted first; typed PRNG keys detour through key_data/wrap (no
+    numpy representation exists for extended dtypes)."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), state)
+
+    def put(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = jax.device_put(
+                np.asarray(jax.random.key_data(x)), sh)
+            return jax.random.wrap_key_data(data, impl=impl)
+        return jax.device_put(np.asarray(x), sh)
+
+    return jax.tree_util.tree_map(put, state)
 
 
 def jit_train_step(train_step, mesh: Mesh, donate_state: bool = True):
@@ -193,6 +262,57 @@ def jit_eval_step(eval_step, mesh: Mesh):
         eval_step,
         in_shardings=(state_sh, state_sh, batch_sh),
     )
+
+
+def wait_for_all_processes(tag: str, timeout_ms: int = 1_800_000) -> None:
+    """Coordination-service barrier (RPC only — no device collective).
+
+    Used to re-align processes after per-host work of very different
+    duration, above all first-touch XLA compiles: if host A finishes
+    compiling the train step minutes before host B, A's first collective
+    sits in the transport's connect window (Gloo: ~30 s) while B is
+    still compiling, and the whole run dies with a connect timeout or
+    crossed-collective payloads.  A device-collective barrier
+    (multihost_utils.sync_global_devices) has the same problem — it IS
+    a collective; the coordination client waits over RPC instead.
+    No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:  # process_count>1 without the coord service
+        return
+    client.wait_at_barrier(tag, timeout_in_ms=timeout_ms)
+
+
+class CompileBarrierStep:
+    """Multi-host wrapper for a jitted step: AOT-compile each new batch
+    signature locally, rendezvous ALL processes at a coordination-service
+    barrier, THEN dispatch — so the step's collectives start within
+    milliseconds of each other on every host (see
+    ``wait_for_all_processes`` for why compile skew is fatal).
+
+    Donation/sharding semantics come from the wrapped jit;
+    ``lower().compile()`` preserves them."""
+
+    def __init__(self, jitted, tag: str):
+        self._jitted = jitted
+        self._tag = tag
+        self._compiled = {}
+
+    @staticmethod
+    def _signature(batch):
+        return tuple(sorted(
+            (k, v.shape, str(v.dtype)) for k, v in batch.items()))
+
+    def __call__(self, state, batch):
+        sig = self._signature(batch)
+        compiled = self._compiled.get(sig)
+        if compiled is None:
+            compiled = self._jitted.lower(state, batch).compile()
+            wait_for_all_processes(f"{self._tag}:{len(self._compiled)}")
+            self._compiled[sig] = compiled
+        return compiled(state, batch)
 
 
 def maybe_initialize_distributed() -> None:

@@ -59,21 +59,27 @@ def _load_pretrained_backbone(path: str, params, batch_stats):
 
 
 def make_dataset(opt: Options, image_size: int, training: bool = True):
+    # multi-host: every loader is built at the PER-HOST batch size and
+    # walks a disjoint host_shard of each epoch (data/common.py); the
+    # host batches reassemble into one global array in
+    # mesh_lib.shard_batch.  Single process: lbs == opt.batch_size.
+    from scat_tpu.data.common import local_batch_size
+    lbs = local_batch_size(opt.batch_size)
     if opt.synthetic_data:
-        return SyntheticDataset(opt.batch_size,
+        return SyntheticDataset(lbs,
                                 num_batches=opt.steps_per_epoch or 16,
                                 seed=opt.seed, image_size=image_size)
     if training:
         # stage-driven dataset mix (reference train.py:36 ->
         # MultiDataset.concat_dataset; stage 3 == STB-only)
         from scat_tpu.data.multi import concat_dataset
-        return concat_dataset(opt.batch_size, opt)
+        return concat_dataset(lbs, opt)
     if opt.eval_dataset == "frei":
         from scat_tpu.data.freihand import get_loader_frei
-        return get_loader_frei("training", opt.batch_size, opt)
+        return get_loader_frei("training", lbs, opt)
     if opt.eval_dataset == "ho3d":
         from scat_tpu.data.ho3d import get_loader_ho3d
-        return get_loader_ho3d("training", opt.batch_size, opt)
+        return get_loader_ho3d("training", lbs, opt)
     from scat_tpu.data.stb import get_loader_STB_eval
     return get_loader_STB_eval(opt)
 
@@ -107,6 +113,10 @@ class Trainer:
         mesh_lib.maybe_initialize_distributed()
         _enable_compilation_cache()
         self.mesh = mesh_lib.make_mesh(opt.mesh_axes())
+        # multi-host: host-side surfaces (CSV/TB logger, debug grids,
+        # stdout cadence prints) are process-0 only; checkpoint saves
+        # stay COLLECTIVE (orbax requires every process to participate)
+        self.is_main = jax.process_index() == 0
 
         if opt.net == "reg_transformer":
             print("[iccv2021 scat] Transformer regressor...")
@@ -181,6 +191,30 @@ class Trainer:
             self.state = mesh_lib.replicate_state(self.mesh, self.state)
             self.train_step = mesh_lib.jit_train_step(
                 raw_step, self.mesh, donate_state=opt.donate_state)
+        if jax.process_count() > 1:
+            # first-touch compile takes minutes and is per-host local;
+            # without a rendezvous the fastest host's collectives time
+            # out while the slowest is still compiling
+            self.train_step = mesh_lib.CompileBarrierStep(
+                self.train_step, "train_step")
+
+    @staticmethod
+    def _host_row0(x):
+        """Global row 0 of a (possibly multi-host) batch array, read
+        PURELY from this host's addressable shards — ``x[0]`` on a
+        global sharded array dispatches a compiled slice program, and a
+        program launched by ONE process crosses its collectives with the
+        other processes' in-flight train steps (observed: Gloo
+        'received data size doesn't match expected size' killing the
+        whole run).  Returns None when this host doesn't own row 0."""
+        import numpy as np
+        if hasattr(x, "addressable_shards"):
+            for sh in x.addressable_shards:
+                start = sh.index[0].start if sh.index else 0
+                if not start:  # None or 0 → shard covers global row 0
+                    return np.asarray(sh.data)[0]
+            return None
+        return np.asarray(x[0])
 
     def _debug_visualize(self, batch, stats):
         """Every-100-steps GT/pred debug grid (reference train.py:211-222):
@@ -189,10 +223,12 @@ class Trainer:
         by ``--debug_img``."""
         import numpy as np
         from scat_tpu.viz import draw
+        img = self._host_row0(batch["image"])
+        label = self._host_row0(batch["label"])
+        if img is None or label is None:
+            return
         print("==== Visualize ====")
-        img = np.asarray(batch["image"][0])
         image = np.clip(img * 127.5 + 127.5, 0, 255).astype(np.uint8)
-        label = np.asarray(batch["label"][0])
         off = 0 if label.shape[0] == 105 else 61  # 166-wide MANO labels
         gt_3d = label[off:off + 63].reshape(21, 3)
         gt_2d = label[off + 63:off + 105].reshape(21, 2)
@@ -207,8 +243,9 @@ class Trainer:
         from scat_tpu.data.prefetch import prefetch_to_device
         from scat_tpu.utils.logging import MetricsLogger
         from scat_tpu.utils.profiling import StepTimer, TraceWindow
-        logger = MetricsLogger(opt.checkpoint_folder,
-                               tensorboard=opt.tensorboard)
+        logger = MetricsLogger(
+            opt.checkpoint_folder if self.is_main else None,
+            tensorboard=opt.tensorboard)
         timer = StepTimer(self.batch_size)
         # --profile_trace_dir: one steady-state jax.profiler capture
         # (the reference's t0..t6 wall-clocks are collected and never
@@ -264,7 +301,7 @@ class Trainer:
                     loss_2d = loss_2d + stats["loss_2d"]
                     loss_pl = loss_pl + stats["loss_pl"]
                     window_steps += 1
-                if opt.debug and i % 100 == 0:
+                if opt.debug and i % 100 == 0 and self.is_main:
                     # one render per firing (the reference re-renders —
                     # and overwrites the same PNG — once per dataset in
                     # the tuple, train.py:211-222; the last one is the
@@ -277,23 +314,28 @@ class Trainer:
                     # count, the reference's own quirk.  The CSV is OUR
                     # surface: it divides by the true step count so
                     # multi-dataset stages log honest per-step means.
-                    print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
-                          "2d loss: %.3f, pose length reg: %.3f"
-                          % (epoch + 1, i + 1,
-                             float(running_loss) / log_every,
-                             float(loss_3d) / log_every,
-                             float(loss_2d) / log_every,
-                             float(loss_pl)))
-                    steps_in_window = max(window_steps, 1)
-                    logger.log(global_step, {
-                        "epoch": epoch + 1,
-                        "loss": float(running_loss) / steps_in_window,
-                        "loss_3d": float(loss_3d) / steps_in_window,
-                        "loss_2d": float(loss_2d) / steps_in_window,
-                        "loss_pl": float(loss_pl),
-                        "samples_per_sec": timer.samples_per_sec,
-                        "ms_per_step": timer.ms_per_step,
-                    })
+                    # (multi-host: process 0 speaks for the run — the
+                    # loss stats come out of the step replicated, so
+                    # every host holds the same values)
+                    if self.is_main:
+                        print("[%d, %5d] loss: %.3f, 3d loss: %.3f, "
+                              "2d loss: %.3f, pose length reg: %.3f"
+                              % (epoch + 1, i + 1,
+                                 float(running_loss) / log_every,
+                                 float(loss_3d) / log_every,
+                                 float(loss_2d) / log_every,
+                                 float(loss_pl)))
+                        steps_in_window = max(window_steps, 1)
+                        logger.log(global_step, {
+                            "epoch": epoch + 1,
+                            "loss": float(running_loss)
+                            / steps_in_window,
+                            "loss_3d": float(loss_3d) / steps_in_window,
+                            "loss_2d": float(loss_2d) / steps_in_window,
+                            "loss_pl": float(loss_pl),
+                            "samples_per_sec": timer.samples_per_sec,
+                            "ms_per_step": timer.ms_per_step,
+                        })
                     running_loss = loss_3d = loss_2d = 0.0
                     window_steps = 0
                     # per-window timing: a lifetime average would
@@ -301,7 +343,9 @@ class Trainer:
                     # checkpoint-save stalls below into step time
                     timer.reset()
             dt = time.time() - t_epoch
-            print(f"epoch {epoch + 1}: {n_samples / dt:.1f} samples/s")
+            if self.is_main:
+                print(f"epoch {epoch + 1}: "
+                      f"{n_samples / dt:.1f} samples/s")
             if epoch % opt.checkpoint_every_epochs == 0:
                 saver.save(opt.checkpoint_folder, self.state)
                 timer.reset()

@@ -1,0 +1,69 @@
+"""Shared model/batch builders for the multi-host test pair
+(tests/multihost_worker.py subprocess workers + tests/test_multihost.py
+single-process oracle).  No import side effects — the worker pins its
+JAX env before importing this.
+
+float32 and small loss weights on purpose: the comparison is
+2-process-vs-1-process EXECUTION equivalence, so the model must not
+amplify cross-topology reduction-order noise (bf16 + the canonical 1e5
+3D weight turns a 1e-5 step-1 difference into percent-level divergence
+by step 2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGE_SIZE = 32
+LOCAL_BS = 8
+N_STEPS = 2
+W3D, W2D = 1.0, 0.01
+
+
+def build_model():
+    from scat_tpu import assets
+    from scat_tpu.models.hand_net import EncoderTransformer
+    mean = assets.load_mean_params()
+    model = EncoderTransformer(
+        mean_params=jnp.asarray(mean), iteration=3, heads=8, depth=3,
+        mask_rate=0.2, pos_embed=True,
+        token_dim=(IMAGE_SIZE // 8) ** 2, use_pallas=False,
+        norm_layer="batch", dtype=jnp.float32)
+    return model, mean
+
+
+def host_batch(pid: int, step: int, mean) -> dict:
+    """This host's shard of logical batch ``step`` (numpy pytree)."""
+    from scat_tpu.data.synthetic import synth_batch
+    batch = synth_batch(
+        jax.random.fold_in(jax.random.key(100 + pid), step),
+        LOCAL_BS, image_size=IMAGE_SIZE, mean_params=mean)
+    return {k: np.asarray(v) for k, v in batch.items()}
+
+
+def init_state(model, mesh):
+    from scat_tpu.parallel import mesh as mesh_lib
+    from scat_tpu.training import schedule, steps
+    from scat_tpu.training.state import TrainState
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3)), train=True)
+    # small lr: Adam's first update is ~sign(grad)*lr, and params whose
+    # gradient sits at reduction-noise level flip sign between
+    # topologies — the lr bounds how much one flipped sign can move the
+    # step-2 loss (see the tolerance note in test_multihost.py)
+    tx = schedule.make_optimizer(1e-4, steps_per_epoch=1)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx,
+                              jax.random.key(2))
+    state = mesh_lib.replicate_state(mesh, state)
+    step = mesh_lib.jit_train_step(
+        steps.make_train_step(model, tx, W3D, W2D), mesh,
+        donate_state=False)
+    return state, step
+
+
+def params_fingerprint(state) -> float:
+    return float(sum(
+        np.abs(np.asarray(leaf)).mean()
+        for leaf in jax.tree_util.tree_leaves(state.params)))
