@@ -105,7 +105,12 @@ class PerformerBlock(nn.Module):
         kqv = _torch_linear_dense(3 * self.emb_s, self.emb_s,
                                   self.dtype, "kqv")(yh)
         k, q, v = jnp.split(kqv, 3, axis=-1)
-        if self.use_pallas:
+        # Under sequence parallelism the fused Pallas kernel is opaque
+        # to the SPMD partitioner (it would force a full token
+        # all-gather); the XLA einsum path partitions cleanly — its
+        # cross-token contractions become two tiny moment psums.
+        from scat_tpu.parallel.sharding_rules import seq_axis_size
+        if self.use_pallas and seq_axis_size() <= 1:
             from scat_tpu.ops.pallas_favor import favor_attention_fused
             attn = favor_attention_fused(
                 q.astype(jnp.float32), k.astype(jnp.float32),
@@ -173,6 +178,14 @@ class ViP(nn.Module):
                          (1, 1, emb))
         tok = jnp.concatenate(
             [jnp.broadcast_to(cls, (b, 1, emb)), tok], axis=1)
+        # Sequence parallelism: anchor the 3137-token stream to the
+        # ``seq`` mesh axis when one is live (identity otherwise).
+        # FAVOR+'s only cross-token math is two moment reductions per
+        # block (sum_t kp, kp^T v) — O(m*d) psums independent of T —
+        # so SP shards the dominant [B,T,emb] activation traffic at
+        # near-zero collective cost (parallel/sharding_rules.py).
+        from scat_tpu.parallel.sharding_rules import shard_tokens
+        tok = shard_tokens(tok)
         # nn.remat leaves the parameter tree untouched (same block
         # names), so checkpoints are interchangeable across the flag
         block_cls = (nn.remat(PerformerBlock, static_argnums=(2,))
@@ -182,6 +195,7 @@ class ViP(nn.Module):
                             self.kernel_ratio, self.dropout,
                             self.use_pallas, self.dtype,
                             name=f"block_{i}")(tok, deterministic)
+            tok = shard_tokens(tok)  # re-anchor across block boundaries
         feat = tok.mean(axis=1).astype(jnp.float32)
         pred = jnp.broadcast_to(
             self.mean_params.astype(jnp.float32)[:self.out_dim],

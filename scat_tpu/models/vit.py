@@ -60,11 +60,19 @@ class ViT(nn.Module):
             [jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
         x = x + pos[:, : n + 1]
         x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+        # Sequence parallelism: anchor the 197-token stream to a live
+        # ``seq`` mesh axis (identity without one).  Softmax attention
+        # under a token-sharded Q becomes Megatron-style context
+        # parallelism: GSPMD all-gathers K/V per block and every other
+        # op stays token-local (parallel/sharding_rules.py).
+        from scat_tpu.parallel.sharding_rules import shard_tokens
+        x = shard_tokens(x)
         x = PyramidTransformer(
             dim=self.dim, depth=self.depth, heads=self.heads,
             dim_head=self.dim_head, mlp_dim=self.mlp_dim,
             dropout=self.dropout, dtype=self.dtype,
             name="transformer")(x, deterministic=deterministic)
+        x = shard_tokens(x)  # re-anchor for the pooled head
         feat = x.mean(axis=1).astype(jnp.float32)
         pred = jnp.broadcast_to(
             self.mean_params.astype(jnp.float32)[:self.num_classes],

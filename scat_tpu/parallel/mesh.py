@@ -26,6 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"      # sequence/context parallelism (token-axis sharding)
+PIPE_AXIS = "pipe"    # pipeline parallelism over transformer depth
 
 
 def make_mesh(mesh_shape: Optional[Sequence[Tuple[str, int]]] = None,
@@ -183,12 +185,15 @@ def jit_train_step(train_step, mesh: Mesh, donate_state: bool = True):
     """
     state_sh = replicated(mesh)
     batch_sh = batch_sharding(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate_state else (),
     )
+    if needs_mesh_context(mesh):
+        jitted = MeshContextStep(jitted, mesh)
+    return jitted
 
 
 def state_shardings(state):
@@ -204,12 +209,15 @@ def jit_train_step_sharded(train_step, mesh: Mesh, state,
     all-gather-before-use / reduce-scatter-of-grad; stats come out
     replicated."""
     st_sh = state_shardings(state)
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(st_sh, batch_sharding(mesh)),
         out_shardings=(st_sh, replicated(mesh)),
         donate_argnums=(0,) if donate_state else (),
     )
+    if needs_mesh_context(mesh):
+        jitted = MeshContextStep(jitted, mesh)
+    return jitted
 
 
 def fsdp_state(mesh: Mesh, state):
@@ -258,10 +266,13 @@ def fsdp_state(mesh: Mesh, state):
 def jit_eval_step(eval_step, mesh: Mesh):
     state_sh = replicated(mesh)
     batch_sh = batch_sharding(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         eval_step,
         in_shardings=(state_sh, state_sh, batch_sh),
     )
+    if needs_mesh_context(mesh):
+        jitted = MeshContextStep(jitted, mesh)
+    return jitted
 
 
 def wait_for_all_processes(tag: str, timeout_ms: int = 1_800_000) -> None:
@@ -313,6 +324,40 @@ class CompileBarrierStep:
             wait_for_all_processes(f"{self._tag}:{len(self._compiled)}")
             self._compiled[sig] = compiled
         return compiled(state, batch)
+
+
+class MeshContextStep:
+    """Run a (jitted) step under ``jax.set_mesh(mesh)``.
+
+    Bare-``PartitionSpec`` sharding constraints inside model code — the
+    sequence-parallel ``sharding_rules.shard_tokens`` anchors — resolve
+    against the AMBIENT abstract mesh at trace time; a jitted step
+    traced without one silently drops them (they are identity).  This
+    wrapper makes the ambient mesh part of the step object, so callers
+    (trainer, dryrun, tests) don't have to wrap every call site.
+    Execution of an already-compiled program doesn't need the context,
+    but entering it is nanoseconds — keep every call uniform."""
+
+    def __init__(self, fn, mesh: Mesh):
+        self._fn = fn
+        self._mesh = mesh
+
+    def __call__(self, *args):
+        with jax.set_mesh(self._mesh):
+            return self._fn(*args)
+
+    def lower(self, *args):
+        """AOT lowering under the same ambient mesh (CompileBarrierStep
+        composes on top for multi-host runs)."""
+        with jax.set_mesh(self._mesh):
+            return self._fn.lower(*args)
+
+
+def needs_mesh_context(mesh: Mesh) -> bool:
+    """True when models traced under ``mesh`` carry activation-sharding
+    anchors that need an ambient mesh (any seq/pipe axis of size > 1)."""
+    return (mesh.shape.get(SEQ_AXIS, 1) > 1
+            or mesh.shape.get(PIPE_AXIS, 1) > 1)
 
 
 def maybe_initialize_distributed() -> None:

@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from scat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from scat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 # module-name markers for the Megatron column/row pairs in the pyramid
 # transformer (models/transformer.py: Attention's to_qkv/to_out; the
@@ -90,6 +90,47 @@ def shard_params(params: Any, mesh: Mesh, min_elems: int = 1 << 16):
     """Place parameters onto the mesh under the TP rules."""
     shardings = make_param_shardings(params, mesh, min_elems)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------
+# Sequence (context) parallelism: activations sharded on the TOKEN axis
+# over a ``seq`` mesh axis.  The long-token models anchor their token
+# streams with ``shard_tokens`` (ViP: 3137 tokens at 224 px, ViT: 197);
+# GSPMD propagates the sharding through the blocks and inserts the
+# reductions where a contraction crosses tokens.  FAVOR+ is the ideal
+# SP workload: its only cross-token math is ``sum_t kp`` and
+# ``kp^T v`` — two psums of [m] / [m, d] moments per block, O(m*d)
+# bytes on the wire regardless of sequence length (softmax attention
+# under the same constraint all-gathers K/V instead — Megatron-style
+# context parallelism).  Parameters stay replicated over ``seq``; the
+# token-sharded gradients reduce into replicated weight grads
+# automatically.
+# ---------------------------------------------------------------------
+
+def seq_axis_size() -> int:
+    """Size of the ambient mesh's ``seq`` axis (1 when absent).
+
+    Reads the ABSTRACT mesh that ``jax.set_mesh``/trace context
+    provides, so model code can stay mesh-agnostic: without a live
+    ``seq`` axis the sequence-parallel anchors are identity."""
+    mesh = jax.sharding.get_abstract_mesh()
+    shape = getattr(mesh, "shape", None) or {}
+    return int(shape.get(SEQ_AXIS, 1) or 1)
+
+
+def shard_tokens(x: jax.Array, token_axis: int = 1) -> jax.Array:
+    """Anchor an activation's token axis to the ``seq`` mesh axis.
+
+    No-op unless the trace runs under a mesh (``jax.set_mesh`` /
+    ``mesh.MeshContextStep``) with a ``seq`` axis of size > 1.  All
+    other dims are left UNCONSTRAINED so batch sharding (``data``)
+    propagates through unchanged."""
+    if seq_axis_size() <= 1:
+        return x
+    from jax.sharding import PartitionSpec as PS
+    spec = [PS.UNCONSTRAINED] * x.ndim
+    spec[token_axis] = SEQ_AXIS
+    return jax.lax.with_sharding_constraint(x, PS(*spec))
 
 
 # ---------------------------------------------------------------------
