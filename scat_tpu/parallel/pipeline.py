@@ -20,6 +20,15 @@ layer) are rejected: stages must be shape-homogeneous to rotate.
 
 Bubble accounting: utilization = M / (M + S - 1) — pick microbatch
 count M >= 4*S to keep the bubble under ~20%.
+
+Memory model: what pipelining shrinks per device is the STAGE — each
+device holds 1/S of the layer weights and exactly one in-flight
+microbatch activation.  The microbatch input stream and the output
+buffer are replicated over ``pipe`` (SPMD shard_map needs uniform
+shapes; only stage 0 reads the stream, only stage S-1 writes outputs)
+— both shard over ``data`` instead.  For token streams at this model
+family's scale that replication is a few MB; a weight-bound model is
+exactly the case PP serves.
 """
 
 from __future__ import annotations
@@ -87,7 +96,12 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
     x_spec = P(None, bspec)
     var_spec = P(PIPE_AXIS)
     out_spec = P(PIPE_AXIS, None, bspec)
-    ring = [(j, (j + 1) % S) for j in range(S)]
+    # open chain, not a ring: the S-1 -> 0 edge would carry a payload
+    # stage 0 unconditionally overwrites by injection — skipping it
+    # saves one microbatch-activation transfer per tick (and its
+    # transpose in the backward).  ppermute zero-fills stage 0's
+    # non-destination slot; injection replaces it before any use.
+    ring = [(j, j + 1) for j in range(S - 1)]
 
     def stage(local_vars, xs_local):
         # SPMD per-device program: local_vars is this stage's
@@ -95,15 +109,22 @@ def pipeline_apply(layer_fn: Callable[[Any, jax.Array], jax.Array],
         i = jax.lax.axis_index(PIPE_AXIS)
         # the carries become varying over every mesh axis inside the
         # loop (axis_index/ppermute vary over pipe; the injected
-        # microbatches over data); type the zero-init the same way or
-        # the scan's carry types mismatch (shard_map VMA checking)
-        axes = tuple(mesh.axis_names)
-        state = jax.lax.pcast(
-            jnp.zeros(xs_local.shape[1:], xs_local.dtype),
-            axes, to="varying")
+        # microbatches over data); type the init the same way or the
+        # scan's carry types mismatch (shard_map VMA checking).
+        # Initialize the activation carry with REAL data (microbatch 0),
+        # not zeros: during the fill phase stages i > t run layer_fn on
+        # a not-yet-live carry, and while the collect-mask keeps that
+        # garbage out of the outputs (and its cotangent is exactly
+        # zero), a block whose VJP is NON-FINITE off its input domain
+        # (x/|x|, log, rsqrt) would poison the weight gradients through
+        # 0 * NaN.  Real-data init keeps every primal on the block's
+        # actual input distribution, so dead paths stay finite and
+        # their zero cotangents truly vanish.
+        state = jax.lax.pcast(xs_local[0], (PIPE_AXIS,), to="varying")
+        out_axes = (PIPE_AXIS,) + ((DATA_AXIS,) if bspec else ())
         outputs = jax.lax.pcast(
             jnp.zeros(xs_local.shape, xs_local.dtype),
-            axes, to="varying")
+            out_axes, to="varying")
 
         def tick(carry, t):
             state, outputs = carry

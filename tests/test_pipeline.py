@@ -43,6 +43,52 @@ def test_pipeline_matches_sequential():
                                atol=1e-6)
 
 
+def test_pipeline_multiple_layers_per_stage():
+    """depth > pipe size: each stage composes 2 contiguous layers."""
+    depth, dim, B, M = 8, 6, 12, 6
+    stacked = _toy_stack(depth, dim, jax.random.key(7))
+    x = jax.random.normal(jax.random.key(8), (B, dim))
+    mesh = mesh_lib.make_mesh((("pipe", 4),), devices=jax.devices()[:4])
+    y_seq = _sequential(stacked, x)
+    y_pp = jax.jit(lambda v, a: pipeline.pipeline_apply(
+        _toy_layer, v, a, mesh, M))(stacked, x)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq),
+                               atol=1e-6)
+
+
+def test_pipeline_grads_finite_with_zero_hostile_layer():
+    """A block whose VJP is non-finite off its input domain (x/|x|)
+    must still yield finite gradients: fill-phase carries are real
+    data, and dead-path cotangents vanish against finite primals."""
+    depth, dim, B, M = 4, 5, 8, 4
+
+    def hostile_layer(lv, x):
+        y = jnp.tanh(x @ lv["w"] + lv["b"])
+        return y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+
+    stacked = _toy_stack(depth, dim, jax.random.key(9))
+    x = jax.random.normal(jax.random.key(10), (B, dim)) + 0.5
+    mesh = mesh_lib.make_mesh((("pipe", 4),), devices=jax.devices()[:4])
+
+    def seq_loss(v):
+        def body(c, lv):
+            return hostile_layer(lv, c), None
+        y, _ = jax.lax.scan(body, x, v)
+        return jnp.sum(y ** 2)
+
+    def pp_loss(v):
+        return jnp.sum(pipeline.pipeline_apply(
+            hostile_layer, v, x, mesh, M) ** 2)
+
+    g_pp = jax.jit(jax.grad(pp_loss))(stacked)
+    g_seq = jax.jit(jax.grad(seq_loss))(stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_seq)):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_pipeline_gradients_match():
     depth, dim, B, M = 4, 5, 8, 4
     stacked = _toy_stack(depth, dim, jax.random.key(2))
@@ -109,13 +155,11 @@ def test_vip_block_stack_pipelined():
     p = 4
     patches = x.reshape(b, 8, p, 8, p, 3).transpose(
         0, 1, 3, 5, 2, 4).reshape(b, 64, 3 * p * p)
-    import numpy as _np
     pe = variables["params"]["patch_emb"]
     tok = patches @ pe["kernel"] + pe["bias"]
     tok = tok + variables["params"]["pos_emb"]
     cls = jnp.broadcast_to(variables["params"]["cls_token"], (b, 1, emb))
     tok = jnp.concatenate([cls, tok], axis=1)
-
     block = PerformerBlock(16, 2, 0.5, 0.1, False, jnp.float32)
 
     def layer_fn(lv, t):
