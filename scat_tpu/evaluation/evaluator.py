@@ -99,6 +99,12 @@ class Evaluator:
             return_attn=self.want_attn,
             constants=self.constants)
         self.eval_step = mesh_lib.jit_eval_step(raw, self.mesh)
+        if jax.process_count() > 1:
+            # align first-touch compiles across hosts before the first
+            # collective dispatch (same failure mode as the trainer's
+            # barrier: compile skew vs the transport connect window)
+            self.eval_step = mesh_lib.CompileBarrierStep(
+                self.eval_step, "eval_step")
 
     def _maybe_dump_attention(self, batch, out, n: int):
         """Per-finger attention-line renderings for the coarse head
@@ -107,8 +113,13 @@ class Evaluator:
         (the reference pays a second full forward for this dump)."""
         if not self.want_attn:
             return
-        attn = np.asarray(out["attn"])     # [B, H, N, N]
-        labels = np.asarray(batch["label"])
+        if jax.process_index() != 0:
+            return  # one host renders; filenames would collide
+        # multi-host: read only this host's addressable rows (a global
+        # np.asarray is impossible; a slice program would cross
+        # collectives with the other hosts' eval steps)
+        attn = mesh_lib.host_local_rows(out["attn"])   # [b, H, N, N]
+        labels = mesh_lib.host_local_rows(batch["label"])
         idx = min(1, attn.shape[0] - 1)    # reference samples index 1
         gt_lmk = labels[idx, 63:].reshape(21, 2) \
             if labels.shape[1] == 105 else \
@@ -135,17 +146,20 @@ class Evaluator:
             loader = make_dataset(opt, 224, training=False)
 
         import jax
-        if jax.process_count() > 1:
-            # loaders host-shard every epoch (data/common.py), so each
-            # process sees a disjoint 1/process_count of the eval set;
-            # cross-host metric aggregation is not wired — run eval
-            # single-host for full-set numbers
-            print(f"[eval] NOTE: {jax.process_count()} processes — "
-                  "metrics below cover THIS host's shard of the eval "
-                  "set only")
+        pc = jax.process_count()
+        is_main = jax.process_index() == 0
+        if pc > 1:
+            # each host's loader feeds a disjoint shard of the eval set
+            # and shard_batch assembles them into ONE global batch, so
+            # the per-batch PCK/AUC (full-batch masked reductions,
+            # replicated out of the jitted step) already cover BOTH
+            # hosts' samples; the per-sample MPJPE comes back sharded
+            # and is summed host-locally then aggregated at the end
+            print(f"[eval] {pc} processes: per-batch PCK/AUC cover the "
+                  "global batch; final MPJPE aggregates across hosts")
 
         from scat_tpu.utils.logging import MetricsLogger
-        logger = MetricsLogger(self.result_dir,
+        logger = MetricsLogger(self.result_dir if is_main else None,
                                filename="eval_metrics.csv",
                                tensorboard=self.opt.tensorboard)
         pck_all = np.zeros((len(RNGE), 22))
@@ -158,9 +172,12 @@ class Evaluator:
             batch = mesh_lib.shard_batch(self.mesh, batch)
             out = self.eval_step(self.params, self.batch_stats, batch)
             self._maybe_dump_attention(batch, out, n)
+            # pck is a full-batch reduction -> replicated (global even
+            # multi-host); the per-sample arrays are batch-sharded, so
+            # read THIS host's rows only
             pck = np.asarray(out["pck"])
-            err = np.asarray(out["mpjpe_per_sample"])
-            valid = np.asarray(out["valid"]).astype(bool)
+            err = mesh_lib.host_local_rows(out["mpjpe_per_sample"])
+            valid = mesh_lib.host_local_rows(out["valid"]).astype(bool)
             fps = self.batch_size / (time.time() - t0)
             print(f"FPS: {fps:.2f}")
             pck_all += pck
@@ -170,28 +187,42 @@ class Evaluator:
             auc_3d.append(auc)
             print("AUC: {}.".format(auc))
             print("@50: {}.".format(pck[-1, -1]))
+            # the CSV's per-batch mpjpe covers this host's rows of the
+            # global batch (the final row aggregates all hosts)
             logger.log(n, {"fps": fps, "auc": auc,
                            "pck_at_50": pck[-1, -1],
                            "mpjpe_mm": (1000 * err[valid].mean()
                                         if valid.any() else float("nan"))})
             mpjpe_chunks.append(err[valid])
         pck_all /= max(n, 1)
-        mpjpe = (np.concatenate(mpjpe_chunks) if mpjpe_chunks
-                 else np.zeros(1))
+        local = (np.concatenate(mpjpe_chunks) if mpjpe_chunks
+                 else np.zeros((0,)))
+        if pc > 1:
+            # one symmetric collective AFTER the loop (every process
+            # reaches it — uniform per-host batch counts), summing the
+            # per-host (sum, count) into the full-set mean
+            from jax.experimental import multihost_utils
+            sums = np.asarray(multihost_utils.process_allgather(
+                np.array([local.sum(), local.size], np.float32)))
+            total, cnt = sums.sum(axis=0)
+            mpjpe_mean = float(total / max(cnt, 1.0))
+        else:
+            mpjpe_mean = float(local.mean()) if local.size else 0.0
         auc = float(metrics_lib.area_under_curve(
             jnp.asarray(RNGE / RNGE.max(), jnp.float32),
             jnp.asarray(pck_all[:, -1], jnp.float32)))
-        save_pck_curve(RNGE, pck_all[:, -1],
-                       os.path.join(self.result_dir, "PCK.png"))
+        if is_main:
+            save_pck_curve(RNGE, pck_all[:, -1],
+                           os.path.join(self.result_dir, "PCK.png"))
         print("*** Final Results ***")
         print()
-        print("MPJPE: " + str(1000 * mpjpe.mean()))
+        print("MPJPE: " + str(1000 * mpjpe_mean))
         print("AUC: " + str(auc))
         logger.log(n, {"fps": float("nan"), "auc": auc,
                        "pck_at_50": pck_all[-1, -1],
-                       "mpjpe_mm": 1000 * mpjpe.mean()})
+                       "mpjpe_mm": 1000 * mpjpe_mean})
         logger.close()
-        return {"mpjpe_mm": 1000 * mpjpe.mean(), "auc": auc,
+        return {"mpjpe_mm": 1000 * mpjpe_mean, "auc": auc,
                 "pck": pck_all}
 
 

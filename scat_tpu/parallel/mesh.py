@@ -275,6 +275,29 @@ def jit_eval_step(eval_step, mesh: Mesh):
     return jitted
 
 
+def host_local_rows(x) -> np.ndarray:
+    """This process's rows of a (possibly multi-host) batch-sharded
+    array, as numpy, in global row order.
+
+    ``np.asarray`` on a multi-process sharded array raises (it spans
+    devices this process cannot address) and a ``x[i]`` slice would
+    dispatch a one-process program whose collectives cross other
+    processes' in-flight steps (see ``Trainer._host_row0``); reading
+    the addressable shards is the only safe path.  Fully-addressable
+    arrays (single process) convert directly."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        parts, last = [], None
+        for s in shards:
+            start = s.index[0].start or 0
+            if start != last:  # skip replicated duplicates
+                parts.append(np.asarray(s.data))
+                last = start
+        return np.concatenate(parts)
+    return np.asarray(x)
+
+
 def wait_for_all_processes(tag: str, timeout_ms: int = 1_800_000) -> None:
     """Coordination-service barrier (RPC only — no device collective).
 
@@ -316,14 +339,16 @@ class CompileBarrierStep:
         return tuple(sorted(
             (k, v.shape, str(v.dtype)) for k, v in batch.items()))
 
-    def __call__(self, state, batch):
-        sig = self._signature(batch)
+    def __call__(self, *args):
+        # the batch dict is the last argument by step convention
+        # (train: (state, batch); eval: (params, batch_stats, batch))
+        sig = self._signature(args[-1])
         compiled = self._compiled.get(sig)
         if compiled is None:
-            compiled = self._jitted.lower(state, batch).compile()
+            compiled = self._jitted.lower(*args).compile()
             wait_for_all_processes(f"{self._tag}:{len(self._compiled)}")
             self._compiled[sig] = compiled
-        return compiled(state, batch)
+        return compiled(*args)
 
 
 class MeshContextStep:

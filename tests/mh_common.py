@@ -41,6 +41,37 @@ def host_batch(pid: int, step: int, mean) -> dict:
     return {k: np.asarray(v) for k, v in batch.items()}
 
 
+EVAL_GLOBAL_BS = 16
+EVAL_BATCHES = 2
+
+
+def eval_batch(step: int, mean) -> dict:
+    """Logical (GLOBAL) eval batch ``step`` — both the 2-process run
+    (each host slicing its half) and the 1-process oracle (whole batch)
+    draw from this same stream, so their metrics must agree."""
+    from scat_tpu.data.synthetic import synth_batch
+    batch = synth_batch(
+        jax.random.fold_in(jax.random.key(500), step),
+        EVAL_GLOBAL_BS, image_size=IMAGE_SIZE, mean_params=mean)
+    return {k: np.asarray(v) for k, v in batch.items()}
+
+
+def build_evaluator(opt_args, image_size, dataset):
+    """Evaluator over deterministic scratch variables (same init seed
+    on every process -> identical weights without a checkpoint)."""
+    from scat_tpu.config import BaseOptions
+    from scat_tpu.evaluation.evaluator import Evaluator
+    from scat_tpu.models import build_model
+    opt = BaseOptions().parse(opt_args)
+    model, _ = build_model(opt, image_size, for_keypoints=True)
+    variables = dict(model.init(
+        {"params": jax.random.key(11), "mask": jax.random.key(12),
+         "dropout": jax.random.key(13)},
+        jnp.zeros((1, image_size, image_size, 3)), train=False))
+    return Evaluator(opt, image_size=image_size, dataset=dataset,
+                     variables=variables)
+
+
 def init_state(model, mesh):
     from scat_tpu.parallel import mesh as mesh_lib
     from scat_tpu.training import schedule, steps

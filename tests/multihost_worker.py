@@ -96,10 +96,27 @@ def main() -> None:
     assert trainer.train_loader.batch_size == 8 // nproc
     trainer.train()
 
+    # --- multi-host eval: full Evaluator surface ----------------------
+    # each process injects ITS half of the same logical eval batches;
+    # the per-sample MPJPE comes back host-sharded and the final number
+    # aggregates across processes (evaluator.py) — the test compares it
+    # against a 1-process oracle over the whole batches
+    local_eval = [
+        {k: v[pid * mh_common.LOCAL_BS:(pid + 1) * mh_common.LOCAL_BS]
+         for k, v in mh_common.eval_batch(s, mean).items()}
+        for s in range(mh_common.EVAL_BATCHES)]
+    ev = mh_common.build_evaluator(
+        ("--net reg_transformer --batch_size 16 --compute_dtype float32 "
+         f"--result_dir {ck}/eval_out").split(),
+        mh_common.IMAGE_SIZE, local_eval)
+    eres = ev.eval()
+
     result = {"pid": pid, "global_devices": jax.device_count(),
               "order": [int(i) for i in order],
               "losses": losses, "fingerprint": fingerprint,
-              "trainer_ok": True}
+              "trainer_ok": True,
+              "eval_mpjpe_mm": float(eres["mpjpe_mm"]),
+              "eval_auc": float(eres["auc"])}
     # every process writes its own file; the test cross-checks both
     with open(f"{out_path}.{pid}", "w") as f:
         json.dump(result, f)

@@ -117,3 +117,32 @@ def test_two_process_step_matches_single_process_oracle(worker_results):
     np.testing.assert_allclose(r0["losses"][:1], losses[:1], rtol=1e-4)
     np.testing.assert_allclose(r0["losses"][1:], losses[1:], rtol=1e-2)
     np.testing.assert_allclose(r0["fingerprint"], fingerprint, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_eval_matches_single_process_oracle(
+        worker_results, tmp_path):
+    """Multi-host eval: both processes report the SAME full-set
+    MPJPE/AUC (cross-host aggregation), equal to a 1-process run over
+    the whole eval batches."""
+    r0, r1 = worker_results
+    # aggregation makes the number identical on every process
+    np.testing.assert_allclose(r0["eval_mpjpe_mm"], r1["eval_mpjpe_mm"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r0["eval_auc"], r1["eval_auc"], rtol=1e-6)
+
+    import mh_common
+    from scat_tpu import assets
+    mean = assets.load_mean_params()
+    batches = [mh_common.eval_batch(s, mean)
+               for s in range(mh_common.EVAL_BATCHES)]
+    ev = mh_common.build_evaluator(
+        ("--net reg_transformer --batch_size 16 --compute_dtype float32 "
+         f"--result_dir {tmp_path}/eval_oracle").split(),
+        mh_common.IMAGE_SIZE, batches)
+    oracle = ev.eval()
+    # same samples, same weights; only collective reduction order
+    # differs between the topologies
+    np.testing.assert_allclose(r0["eval_mpjpe_mm"], oracle["mpjpe_mm"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(r0["eval_auc"], oracle["auc"], rtol=1e-4)
