@@ -41,10 +41,41 @@ NUM_SHAPE_BASIS = 10
 NUM_POSE_BASIS = 135  # (16-1) * 9
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_HAND_OBJ = os.path.join(_REPO_ROOT, "extra_data", "hand.obj")
-DEFAULT_MANO_PKL = os.path.join(_REPO_ROOT, "extra_data", "MANO_RIGHT.pkl")
-DEFAULT_MEAN_MANO = os.path.join(_REPO_ROOT, "extra_data",
-                                 "mean_mano_params.pkl")
+_PKG_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "_assets")
+
+
+def find_asset(name: str) -> str:
+    """Resolve a shipped or user-supplied asset file by name.
+
+    Search order (first existing wins):
+      1. ``$SCAT_EXTRA_DATA/<name>`` — explicit override,
+      2. ``./extra_data/<name>`` — the reference UX: the user drops
+         ``MANO_RIGHT.pkl`` beside their run, and the reference's config
+         defaults are cwd-relative (reference README.md:21, config.py),
+      3. ``<checkout>/extra_data/<name>`` — this repo's layout,
+      4. ``scat_tpu/_assets/<name>`` — wheel installs (setup.py copies the
+         shipped assets into the package at build time).
+
+    When nothing exists, returns the checkout-layout path so downstream
+    ``os.path.exists`` probes and error messages stay meaningful.
+    """
+    cands = []
+    env = os.environ.get("SCAT_EXTRA_DATA")
+    if env:
+        cands.append(os.path.join(env, name))
+    cands.append(os.path.join(os.getcwd(), "extra_data", name))
+    cands.append(os.path.join(_REPO_ROOT, "extra_data", name))
+    cands.append(os.path.join(_PKG_ASSETS, name))
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return os.path.join(_REPO_ROOT, "extra_data", name)
+
+
+DEFAULT_HAND_OBJ = find_asset("hand.obj")
+DEFAULT_MANO_PKL = find_asset("MANO_RIGHT.pkl")
+DEFAULT_MEAN_MANO = find_asset("mean_mano_params.pkl")
 
 
 def load_obj_vertices(path: str = DEFAULT_HAND_OBJ) -> np.ndarray:

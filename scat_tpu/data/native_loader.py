@@ -17,16 +17,45 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))
-_SO_PATH = os.path.join(_REPO_ROOT, "native", "libscat_native.so")
+
+
+def _source_dir() -> str:
+    """Locate the C++ source: checkout-layout ``native/`` first, then the
+    copy setup.py ships inside wheels as ``scat_tpu/_native/``."""
+    checkout = os.path.join(_REPO_ROOT, "native")
+    if os.path.exists(os.path.join(checkout, "scat_native.cpp")):
+        return checkout
+    return os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "_native")
+
+
+_SRC_DIR = _source_dir()
+_SRC_PATH = os.path.join(_SRC_DIR, "scat_native.cpp")
+
+
+def _so_location() -> str:
+    """Build beside the source in a writable checkout (keeps the manual
+    ``native/build.sh`` output valid); read-only site-packages installs
+    fall back to a per-user cache."""
+    if os.access(_SRC_DIR, os.W_OK):
+        return os.path.join(_SRC_DIR, "libscat_native.so")
+    return os.path.join(os.path.expanduser("~"), ".cache", "scat_tpu",
+                        "libscat_native.so")
+
+
+_SO_PATH = _so_location()
 
 _lib = None
 
 
 def _build() -> bool:
-    script = os.path.join(_REPO_ROOT, "native", "build.sh")
+    # same recipe as native/build.sh, with explicit in/out paths so wheel
+    # installs can compile into the user cache
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC_PATH,
+           "-o", _SO_PATH, "-ljpeg", "-lpng", "-lpthread"]
     try:
-        subprocess.run(["bash", script], check=True,
-                       capture_output=True, timeout=120)
+        os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except subprocess.CalledProcessError as e:
         # visible once: a failed build silently demotes every loader to
@@ -43,9 +72,8 @@ def _build() -> bool:
 
 def _stale() -> bool:
     """Rebuild when the source is newer than the binary."""
-    src = os.path.join(_REPO_ROOT, "native", "scat_native.cpp")
     try:
-        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        return os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
     except OSError:
         return False
 
