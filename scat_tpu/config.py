@@ -134,6 +134,7 @@ class Options:
     checkpoint_every_epochs: int = 10  # torch.save cadence (train.py:237)
     data_dir: str = "./STB/"
     synthetic_data: bool = False       # use the in-memory synthetic dataset
+    synthetic_layout: str = "stb"      # synthetic label width: stb=105 frei=166
     # Path to a local torchvision ResNet-50 ImageNet .pth.  The reference
     # ALWAYS starts from model-zoo ImageNet weights (resnet.py:186-196,
     # strict=False); TPU pods are zero-egress, so download

@@ -25,9 +25,10 @@ from functools import partial
 from scat_tpu.ops.geometry import rodrigues_guarded
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(jax.jit, static_argnums=(1, 2, 4))
 def _synth_batch_impl(key: jax.Array, batch_size: int, image_size: int,
-                      template: jax.Array) -> Dict[str, jax.Array]:
+                      template: jax.Array, layout: str = "stb"
+                      ) -> Dict[str, jax.Array]:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     # learnable pose: a global rotation of the template + small jitter
     # (rotation is recoverable from the rendered pattern; iid jitter
@@ -69,24 +70,45 @@ def _synth_batch_impl(key: jax.Array, batch_size: int, image_size: int,
     blobs = jnp.einsum("bjh,bjw,jc->bhwc", gy, gx, chan)
     images = jnp.clip(blobs, 0.0, 1.0) * 2.0 - 1.0  # [-1,1]
 
-    labels = jnp.concatenate(
-        [joints_3d.reshape(batch_size, 63),
-         joints_2d.reshape(batch_size, 42)], axis=1)
+    if layout == "frei":
+        # [cam3 | pose48 | shape10 | 3D63 | 2D42] = 166, the FreiHAND/
+        # HO-3D contract (freihand.pack_label_166, reference
+        # train.py:193-196).  The global rotation doubles as the pose's
+        # global-orient dofs; local pose/shape are zero (the keypoint
+        # loss reads only the 3D/2D views, losses.split_labels).
+        pose48 = jnp.concatenate(
+            [rotvec, jnp.zeros((batch_size, 45))], axis=1)
+        labels = jnp.concatenate(
+            [cam, pose48, jnp.zeros((batch_size, 10)),
+             joints_3d.reshape(batch_size, 63),
+             joints_2d.reshape(batch_size, 42)], axis=1)
+    else:
+        labels = jnp.concatenate(
+            [joints_3d.reshape(batch_size, 63),
+             joints_2d.reshape(batch_size, 42)], axis=1)
     return {"image": images, "label": labels,
             "valid": jnp.ones((batch_size,), jnp.float32)}
 
 
 def synth_batch(key: jax.Array, batch_size: int, image_size: int = 224,
                 mean_params: Optional[np.ndarray] = None,
-                dtype=jnp.float32) -> Dict[str, jax.Array]:
+                dtype=jnp.float32, layout: str = "stb"
+                ) -> Dict[str, jax.Array]:
     """One deterministic batch: globally-rotated template joints,
     weak-persp projection, identity-coded blob rendering.  Jitted (the
     renderer is ~40 fused ops; eager dispatch would dominate step time).
+
+    ``layout``: "stb" = 105-wide labels (3D+2D), "frei" = 166-wide
+    (cam|pose|shape|3D|2D) — exercises the second width of the loss/eval
+    label dispatch end-to-end.
     """
+    if layout not in ("stb", "frei"):
+        raise ValueError(f"layout must be 'stb' or 'frei', got {layout!r}")
     if mean_params is None:
         mean_params = assets.load_mean_params()
     template = jnp.asarray(mean_params[3:].reshape(21, 3))
-    batch = _synth_batch_impl(key, batch_size, image_size, template)
+    batch = _synth_batch_impl(key, batch_size, image_size, template,
+                              layout)
     if dtype != jnp.float32:
         batch = dict(batch, image=batch["image"].astype(dtype))
     return batch
@@ -97,11 +119,13 @@ class SyntheticDataset:
 
     def __init__(self, batch_size: int, num_batches: int = 16,
                  seed: int = 0, image_size: int = 224,
-                 mean_params: Optional[np.ndarray] = None):
+                 mean_params: Optional[np.ndarray] = None,
+                 layout: str = "stb"):
         self.batch_size = batch_size
         self.num_batches = num_batches
         self.seed = seed
         self.image_size = image_size
+        self.layout = layout
         self.mean_params = (mean_params if mean_params is not None
                             else assets.load_mean_params())
 
@@ -120,4 +144,4 @@ class SyntheticDataset:
         for i in range(self.num_batches):
             yield synth_batch(jax.random.fold_in(base, i),
                               self.batch_size, self.image_size,
-                              self.mean_params)
+                              self.mean_params, layout=self.layout)

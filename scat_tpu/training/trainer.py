@@ -68,7 +68,8 @@ def make_dataset(opt: Options, image_size: int, training: bool = True):
     if opt.synthetic_data:
         return SyntheticDataset(lbs,
                                 num_batches=opt.steps_per_epoch or 16,
-                                seed=opt.seed, image_size=image_size)
+                                seed=opt.seed, image_size=image_size,
+                                layout=opt.synthetic_layout)
     if training:
         # stage-driven dataset mix (reference train.py:36 ->
         # MultiDataset.concat_dataset; stage 3 == STB-only)
