@@ -1,9 +1,8 @@
 #!/bin/bash
-# Build the native host-pipeline library.
+# Build the native host-pipeline library.  The compile recipe lives in
+# ONE place — scat_tpu/data/native_loader.py (_CXX_CMD) — this script
+# just invokes it so manual builds and auto-builds can't drift.
 set -e
-cd "$(dirname "$0")"
-# no -march=native: the .so may outlive the build machine (containers,
-# cached layers); generic x86-64 + O3 keeps it portable
-g++ -O3 -fPIC -shared -std=c++17 \
-    scat_native.cpp -o libscat_native.so -ljpeg -lpng -lpthread
-echo "built $(pwd)/libscat_native.so"
+cd "$(dirname "$0")/.."
+PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    exec python3 -m scat_tpu.data.native_loader --force

@@ -73,13 +73,27 @@ def find_asset(name: str) -> str:
     return os.path.join(_REPO_ROOT, "extra_data", name)
 
 
-DEFAULT_HAND_OBJ = find_asset("hand.obj")
-DEFAULT_MANO_PKL = find_asset("MANO_RIGHT.pkl")
-DEFAULT_MEAN_MANO = find_asset("mean_mano_params.pkl")
+# DEFAULT_HAND_OBJ / DEFAULT_MANO_PKL / DEFAULT_MEAN_MANO are module
+# attributes resolved LAZILY (PEP 562) — `SCAT_EXTRA_DATA` or an
+# os.chdir() after `import scat_tpu` must still be honored; freezing
+# find_asset() at import time would silently fall back to the synthetic
+# MANO when the user points at the real pickle post-import.
+_LAZY_DEFAULTS = {
+    "DEFAULT_HAND_OBJ": "hand.obj",
+    "DEFAULT_MANO_PKL": "MANO_RIGHT.pkl",
+    "DEFAULT_MEAN_MANO": "mean_mano_params.pkl",
+}
 
 
-def load_obj_vertices(path: str = DEFAULT_HAND_OBJ) -> np.ndarray:
+def __getattr__(name: str) -> str:
+    if name in _LAZY_DEFAULTS:
+        return find_asset(_LAZY_DEFAULTS[name])
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def load_obj_vertices(path: Optional[str] = None) -> np.ndarray:
     """Parse vertex rows of a Wavefront .obj -> float32 [V,3]."""
+    path = find_asset("hand.obj") if path is None else path
     verts = []
     with open(path) as f:
         for line in f:
@@ -88,7 +102,8 @@ def load_obj_vertices(path: str = DEFAULT_HAND_OBJ) -> np.ndarray:
     return np.asarray(verts, dtype=np.float32)
 
 
-def load_obj_faces(path: str = DEFAULT_HAND_OBJ) -> np.ndarray:
+def load_obj_faces(path: Optional[str] = None) -> np.ndarray:
+    path = find_asset("hand.obj") if path is None else path
     faces = []
     with open(path) as f:
         for line in f:
@@ -136,8 +151,9 @@ def _dense(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float64).astype(np.float32)
 
 
-def load_mano_pkl(path: str = DEFAULT_MANO_PKL) -> ManoModelData:
+def load_mano_pkl(path: Optional[str] = None) -> ManoModelData:
     """Load MANO_RIGHT.pkl (layout per reference models/mano.py:220-232)."""
+    path = find_asset("MANO_RIGHT.pkl") if path is None else path
     with open(path, "rb") as f:
         dd = pickle.load(f, encoding="latin1")
     kintree = np.asarray(dd["kintree_table"])
@@ -172,9 +188,10 @@ def synthetic_mano(seed: int = 0,
     rows are convex combinations over nearby vertices).
     """
     rng = np.random.RandomState(seed)
+    hand_obj = find_asset("hand.obj")
     if v_template is None:
-        if os.path.exists(DEFAULT_HAND_OBJ):
-            v_template = load_obj_vertices(DEFAULT_HAND_OBJ)
+        if os.path.exists(hand_obj):
+            v_template = load_obj_vertices(hand_obj)
         else:
             v_template = rng.randn(NUM_VERTS, 3).astype(np.float32) * 0.03
     shapedirs = rng.randn(NUM_VERTS, 3, NUM_SHAPE_BASIS).astype(
@@ -207,8 +224,8 @@ def synthetic_mano(seed: int = 0,
         kintree_parents=parents,
         hands_mean=(rng.randn(45) * 0.1).astype(np.float32),
         hands_components=comp.astype(np.float32),
-        faces=load_obj_faces(DEFAULT_HAND_OBJ)
-        if os.path.exists(DEFAULT_HAND_OBJ) else None,
+        faces=load_obj_faces(hand_obj)
+        if os.path.exists(hand_obj) else None,
         synthetic=True,
     )
 
@@ -236,8 +253,9 @@ def load_mano_json(path: str) -> ManoModelData:
     )
 
 
-def load_mano(path: str = DEFAULT_MANO_PKL, allow_synthetic: bool = True
+def load_mano(path: Optional[str] = None, allow_synthetic: bool = True
               ) -> ManoModelData:
+    path = find_asset("MANO_RIGHT.pkl") if path is None else path
     if os.path.exists(path):
         if path.endswith(".json"):
             return load_mano_json(path)
@@ -251,9 +269,12 @@ def load_mano(path: str = DEFAULT_MANO_PKL, allow_synthetic: bool = True
 
 
 def load_mean_params(outside: bool = True,
-                     mano_path: str = DEFAULT_MANO_PKL,
-                     obj_path: str = DEFAULT_HAND_OBJ) -> np.ndarray:
+                     mano_path: Optional[str] = None,
+                     obj_path: Optional[str] = None) -> np.ndarray:
     """Mean 66-dim parameter vector from whichever template source exists."""
+    mano_path = find_asset("MANO_RIGHT.pkl") if mano_path is None \
+        else mano_path
+    obj_path = find_asset("hand.obj") if obj_path is None else obj_path
     if os.path.exists(mano_path):
         v_template = load_mano_pkl(mano_path).v_template
     elif os.path.exists(obj_path):
@@ -265,12 +286,13 @@ def load_mean_params(outside: bool = True,
     return build_mean_params(v_template, outside)
 
 
-def load_mean_mano_pose(path: str = DEFAULT_MEAN_MANO) -> np.ndarray:
+def load_mean_mano_pose(path: Optional[str] = None) -> np.ndarray:
     """61-dim FrankMocap-style mean (cam3 + pose48 + shape10).
 
     Layout per reference eval.py:404-426: camera scale 5.0; pose = zeros(3)
     global orient prepended to the pickle's ``mean_pose[3:]`` (45 local
     dofs); shape = zeros(10)."""
+    path = find_asset("mean_mano_params.pkl") if path is None else path
     mean = np.zeros((61,), dtype=np.float32)
     mean[0] = 5.0
     if os.path.exists(path):

@@ -33,26 +33,40 @@ _SRC_DIR = _source_dir()
 _SRC_PATH = os.path.join(_SRC_DIR, "scat_native.cpp")
 
 
+def _src_digest() -> str:
+    import hashlib
+    try:
+        with open(_SRC_PATH, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()[:12]
+    except OSError:
+        return "nosrc"
+
+
 def _so_location() -> str:
     """Build beside the source in a writable checkout (keeps the manual
     ``native/build.sh`` output valid); read-only site-packages installs
-    fall back to a per-user cache."""
+    fall back to a per-user cache keyed by a source-content hash, so an
+    upgraded package (even with normalized file mtimes) or a second
+    venv with a different version never loads a stale binary."""
     if os.access(_SRC_DIR, os.W_OK):
         return os.path.join(_SRC_DIR, "libscat_native.so")
     return os.path.join(os.path.expanduser("~"), ".cache", "scat_tpu",
-                        "libscat_native.so")
+                        f"libscat_native-{_src_digest()}.so")
 
 
 _SO_PATH = _so_location()
 
 _lib = None
 
+# THE build recipe — native/build.sh delegates here so the flags live in
+# exactly one place.  No -march=native: the .so may outlive the build
+# machine (containers, cached layers); generic x86-64 + O3 is portable.
+_CXX_CMD = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17"]
+_CXX_LIBS = ["-ljpeg", "-lpng", "-lpthread"]
+
 
 def _build() -> bool:
-    # same recipe as native/build.sh, with explicit in/out paths so wheel
-    # installs can compile into the user cache
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC_PATH,
-           "-o", _SO_PATH, "-ljpeg", "-lpng", "-lpthread"]
+    cmd = _CXX_CMD + [_SRC_PATH, "-o", _SO_PATH] + _CXX_LIBS
     try:
         os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -213,3 +227,20 @@ def load_batch(paths: Sequence[str], height: int, width: int,
         status.ctypes.data_as(int_ptr), ks_p, ax_p)
     valid = (status == 0).astype(np.float32)
     return out, valid
+
+
+def build_native(force: bool = False):
+    """Build the library at its canonical location; the single public
+    entry for ``native/build.sh`` and wheel post-install hooks."""
+    if force or not os.path.exists(_SO_PATH) or _stale():
+        if not _build():
+            return None
+    return _SO_PATH if os.path.exists(_SO_PATH) else None
+
+
+if __name__ == "__main__":
+    import sys
+    path = build_native(force="--force" in sys.argv)
+    if path is None:
+        sys.exit("native build failed")
+    print(f"built {path}")

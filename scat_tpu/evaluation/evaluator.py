@@ -62,6 +62,12 @@ class Evaluator:
         self.batch_size = opt.batch_size
         self.result_dir = opt.result_dir
         os.makedirs(self.result_dir, exist_ok=True)
+        # multi-host pods: join the coordination service before the
+        # first backend touch, exactly like Trainer — without this the
+        # cross-host MPJPE aggregation path below can never activate
+        # from the `scat-eval` entry point (each process would see only
+        # its local devices)
+        mesh_lib.maybe_initialize_distributed()
         self.mesh = mesh_lib.make_mesh(opt.mesh_axes())
         self.model, self.mean_params = build_model(opt, image_size,
                                                    for_keypoints=True)

@@ -131,6 +131,28 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, sh), batch)
 
 
+def _local_row_base(row_slices, n_local_rows: int) -> int:
+    """Validate this process's global batch-row window is exactly its
+    contiguous local block and return its start.
+
+    e.g. ``--mesh_shape model:2,data:4`` on 2 hosts x 4 devices passes
+    the divisibility check but each process's devices span ALL data
+    blocks while its loader holds only its own rows — fail with the
+    config fix instead of a shard-shape mismatch deep in the prefetch
+    thread."""
+    base = min((s.start or 0) for s in row_slices)
+    top = max(s.stop for s in row_slices)
+    if top - base != n_local_rows:
+        raise ValueError(
+            f"this process's devices cover global batch rows "
+            f"[{base}, {top}) but the host loader holds "
+            f"{n_local_rows} rows: the '{DATA_AXIS}' mesh axis must "
+            f"be the process-major (leading) axis so each host's rows "
+            f"are a contiguous block — reorder --mesh_shape to put "
+            f"'{DATA_AXIS}' first")
+    return base
+
+
 def _assemble_global(sh: NamedSharding, local: np.ndarray):
     """Build a global batch-sharded array from this process's local
     rows: slice per addressable device, H2D each slice, wrap with
@@ -141,7 +163,8 @@ def _assemble_global(sh: NamedSharding, local: np.ndarray):
     imap = sh.addressable_devices_indices_map(global_shape)
     # this process owns a contiguous row block in jax.devices() order;
     # rebase the global row indices onto the local array
-    base = min((idx[0].start or 0) for idx in imap.values())
+    base = _local_row_base(
+        [idx[0] for idx in imap.values()], local.shape[0])
     bufs = [
         jax.device_put(local[(idx[0].start or 0) - base:
                              idx[0].stop - base], d)

@@ -146,3 +146,19 @@ def test_two_process_eval_matches_single_process_oracle(
     np.testing.assert_allclose(r0["eval_mpjpe_mm"], oracle["mpjpe_mm"],
                                rtol=1e-4)
     np.testing.assert_allclose(r0["eval_auc"], oracle["auc"], rtol=1e-4)
+
+
+def test_local_row_base_rejects_non_process_major_data_axis():
+    """mesh._assemble_global must fail loudly (with the --mesh_shape
+    fix) when a process's device row blocks are not one contiguous
+    local window — e.g. model:2,data:4 on 2 hosts, where each host's
+    devices span every data block."""
+    from scat_tpu.parallel.mesh import _local_row_base
+
+    # process-major data axis: rows [4, 8) on a host holding 4 rows
+    assert _local_row_base([slice(4, 6), slice(6, 8)], 4) == 4
+    # replicated model axis repeats the same block — still contiguous
+    assert _local_row_base([slice(0, 2), slice(0, 2), slice(2, 4)], 4) == 0
+    # non-process-major: this host's devices cover rows 0-2 and 6-8
+    with pytest.raises(ValueError, match="process-major"):
+        _local_row_base([slice(0, 2), slice(6, 8)], 4)

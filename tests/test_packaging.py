@@ -14,7 +14,6 @@ import importlib
 import os
 import subprocess
 import sys
-import tomllib
 import zipfile
 
 import pytest
@@ -24,6 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_entry_points_resolve():
     """Every [project.scripts] target imports and is callable."""
+    # stdlib only since 3.11; the package claims >=3.10, so skip (not
+    # crash at collection) the pyproject-parsing test there
+    tomllib = pytest.importorskip("tomllib")
     with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
         proj = tomllib.load(f)["project"]
     scripts = proj["scripts"]
@@ -35,6 +37,7 @@ def test_entry_points_resolve():
 
 def test_version_single_source():
     import scat_tpu
+    tomllib = pytest.importorskip("tomllib")
     with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
         proj = tomllib.load(f)["project"]
     # version is dynamic = read from scat_tpu.__version__; pinning it in
@@ -94,3 +97,49 @@ def test_wheel_is_self_contained(tmp_path):
     subprocess.run([sys.executable, "-c", code, str(tree)],
                    check=True, capture_output=True,
                    cwd=str(tmp_path), env=env, timeout=300)
+
+
+def test_asset_defaults_are_lazy(tmp_path, monkeypatch):
+    """DEFAULT_* module attrs re-resolve per access (PEP 562): an
+    SCAT_EXTRA_DATA set AFTER `import scat_tpu` must still win —
+    freezing at import time silently routed a real MANO_RIGHT.pkl to
+    the synthetic fallback."""
+    from scat_tpu import assets  # imported (long) before the env change
+    d = tmp_path / "late"
+    d.mkdir()
+    (d / "MANO_RIGHT.pkl").write_bytes(b"x")
+    monkeypatch.setenv("SCAT_EXTRA_DATA", str(d))
+    assert assets.DEFAULT_MANO_PKL == str(d / "MANO_RIGHT.pkl")
+    monkeypatch.delenv("SCAT_EXTRA_DATA")
+    assert assets.DEFAULT_MANO_PKL != str(d / "MANO_RIGHT.pkl")
+    with pytest.raises(AttributeError):
+        assets.NO_SUCH_ATTR
+
+
+@pytest.mark.slow
+def test_sdist_builds_wheel(tmp_path):
+    """pip's no-matching-wheel fallback path: sdist -> wheel must work,
+    i.e. MANIFEST.in ships the out-of-package files BuildPyWithData
+    copies (extra_data assets, native source)."""
+    import tarfile
+    dist = tmp_path / "dist"
+    subprocess.run(
+        [sys.executable, "-m", "build", "--sdist", "--no-isolation",
+         "-o", str(dist), REPO],
+        check=True, capture_output=True, timeout=600)
+    [sdist] = list(dist.glob("*.tar.gz"))
+    with tarfile.open(sdist) as t:
+        t.extractall(tmp_path / "src", filter="data")
+    [srcdir] = list((tmp_path / "src").iterdir())
+    for rel in ("extra_data/hand.obj", "native/scat_native.cpp"):
+        assert (srcdir / rel).exists(), rel
+    wheel_dir = tmp_path / "wheels"
+    subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", "--no-deps",
+         "--no-build-isolation", "-w", str(wheel_dir), str(srcdir)],
+        check=True, capture_output=True, timeout=600)
+    [wheel] = list(wheel_dir.glob("*.whl"))
+    with zipfile.ZipFile(wheel) as z:
+        names = z.namelist()
+    assert "scat_tpu/_assets/hand.obj" in names
+    assert "scat_tpu/_native/scat_native.cpp" in names
