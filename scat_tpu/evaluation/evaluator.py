@@ -151,7 +151,6 @@ class Evaluator:
                    else _dc.replace(self.opt, eval_dataset=eval_dataset))
             loader = make_dataset(opt, 224, training=False)
 
-        import jax
         pc = jax.process_count()
         is_main = jax.process_index() == 0
         if pc > 1:

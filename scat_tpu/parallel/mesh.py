@@ -125,8 +125,17 @@ def shard_batch(mesh: Mesh, batch):
         # collectives, and two programs' collectives interleaving across
         # processes in different orders crosses their payloads (observed
         # as Gloo 'received data size doesn't match expected size').
+        def to_local(x):
+            # device-resident leaves (e.g. jitted synthetic batches)
+            # stay on device and slice there — np.asarray would add a
+            # full D2H roundtrip per leaf per step; the slice/device_put
+            # programs are single-device local (no collectives), so they
+            # are prefetch-thread-safe like the H2D copies
+            if isinstance(x, jax.Array) and x.is_fully_addressable:
+                return x
+            return np.asarray(x)
         return jax.tree_util.tree_map(
-            lambda x: _assemble_global(sh, np.asarray(x)), batch)
+            lambda x: _assemble_global(sh, to_local(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
 
@@ -153,10 +162,11 @@ def _local_row_base(row_slices, n_local_rows: int) -> int:
     return base
 
 
-def _assemble_global(sh: NamedSharding, local: np.ndarray):
+def _assemble_global(sh: NamedSharding, local):
     """Build a global batch-sharded array from this process's local
-    rows: slice per addressable device, H2D each slice, wrap with
-    ``make_array_from_single_device_arrays``.  No compiled program, no
+    rows (numpy, or an already-local ``jax.Array``): slice per
+    addressable device, place each slice, wrap with
+    ``make_array_from_single_device_arrays``.  No global program, no
     collective — safe to run on a background thread."""
     pc = jax.process_count()
     global_shape = (local.shape[0] * pc,) + local.shape[1:]
@@ -173,30 +183,32 @@ def _assemble_global(sh: NamedSharding, local: np.ndarray):
         global_shape, sh, bufs)
 
 
-def replicate_state(mesh: Mesh, state):
-    """Replicate a train-state pytree across the mesh.
+def _put_global(x, sh: NamedSharding):
+    """``device_put`` onto a (possibly multi-host) sharding.
 
-    Multi-host: every process holds the same host-side state (same init
-    seed), and each leaf becomes one global replicated array.
-    ``device_put`` onto a sharding spanning non-addressable devices
-    accepts HOST values but not committed device arrays, so leaves are
-    converted first; typed PRNG keys detour through key_data/wrap (no
-    numpy representation exists for extended dtypes)."""
-    sh = replicated(mesh)
+    Single process: direct.  Multi-process: ``device_put`` onto a
+    sharding spanning non-addressable devices accepts HOST values but
+    not committed device arrays, so leaves are converted first; typed
+    PRNG keys detour through key_data/wrap (no numpy representation
+    exists for extended dtypes).  Every process must hold the same
+    host-side value (same init seed) — each leaf becomes one global
+    array."""
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sh), state)
+        return jax.device_put(x, sh)
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(x)
+        data = jax.device_put(
+            np.asarray(jax.random.key_data(x)), sh)
+        return jax.random.wrap_key_data(data, impl=impl)
+    return jax.device_put(np.asarray(x), sh)
 
-    def put(x):
-        x = jnp.asarray(x)
-        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
-            impl = jax.random.key_impl(x)
-            data = jax.device_put(
-                np.asarray(jax.random.key_data(x)), sh)
-            return jax.random.wrap_key_data(data, impl=impl)
-        return jax.device_put(np.asarray(x), sh)
 
-    return jax.tree_util.tree_map(put, state)
+def replicate_state(mesh: Mesh, state):
+    """Replicate a train-state pytree across the mesh (multi-host safe,
+    see ``_put_global``)."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, sh), state)
 
 
 def jit_train_step(train_step, mesh: Mesh, donate_state: bool = True):
@@ -227,8 +239,8 @@ def state_shardings(state):
 def jit_train_step_sharded(train_step, mesh: Mesh, state,
                            donate_state: bool = True):
     """Jit a step pinning the state to its CURRENT placement (e.g. an
-    FSDP-sharded state from ``sharding_rules.shard_params_fsdp``) instead
-    of forcing replication.  GSPMD turns the per-param placements into
+    FSDP-sharded state from :func:`fsdp_state`) instead of forcing
+    replication.  GSPMD turns the per-param placements into
     all-gather-before-use / reduce-scatter-of-grad; stats come out
     replicated."""
     st_sh = state_shardings(state)
@@ -269,20 +281,24 @@ def fsdp_state(mesh: Mesh, state):
         lambda x: params_sh if _is_params_like(x) else rep,
         state.opt_state, is_leaf=_is_params_like)
 
+    # every placement goes through _put_global: multi-host, the leaves
+    # here are device arrays (model.init / TrainState.create) and the
+    # PRNG key is typed — device_put'ing those onto global shardings is
+    # exactly what replicate_state documents as unsupported
     def place_rep(tree):
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), tree)
+            lambda x: _put_global(x, rep), tree)
 
     return state.replace(
-        params=sharding_rules.shard_params_fsdp(state.params, mesh),
+        params=jax.tree_util.tree_map(_put_global, state.params,
+                                      params_sh),
         opt_state=jax.tree_util.tree_map(
-            lambda x, sh: jax.device_put(x, sh), state.opt_state,
-            opt_sh),
+            lambda x, sh: _put_global(x, sh), state.opt_state, opt_sh),
         batch_stats=place_rep(state.batch_stats),
         constants=place_rep(state.constants),
-        step=jax.device_put(state.step, rep),
-        pl_mean=jax.device_put(state.pl_mean, rep),
-        rng=jax.device_put(state.rng, rep),
+        step=_put_global(state.step, rep),
+        pl_mean=_put_global(state.pl_mean, rep),
+        rng=_put_global(state.rng, rep),
     )
 
 
@@ -313,6 +329,19 @@ def host_local_rows(x) -> np.ndarray:
                         key=lambda s: s.index[0].start or 0)
         parts, last = [], None
         for s in shards:
+            # the dim-0 dedup below assumes batch-(dim 0)-only sharding;
+            # a shard split on ANY other dim would be silently dropped
+            # as a "replicated duplicate" (truncating that dim), so fail
+            # loudly instead
+            for d, sl in enumerate(s.index[1:], start=1):
+                if (sl.start or 0) != 0 or (
+                        sl.stop is not None and sl.stop != x.shape[d]):
+                    raise ValueError(
+                        "host_local_rows needs a batch-(dim 0)-sharded "
+                        f"array; got a shard covering {s.index} of "
+                        f"global {x.shape} (dim {d} is split) — "
+                        "constrain the step's output sharding to "
+                        "PartitionSpec('data') first")
             start = s.index[0].start or 0
             if start != last:  # skip replicated duplicates
                 parts.append(np.asarray(s.data))

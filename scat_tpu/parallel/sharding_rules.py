@@ -178,13 +178,3 @@ def make_fsdp_shardings(params: Any, mesh: Mesh,
             mesh, fsdp_partition_spec(path, leaf, data_size, model_size,
                                       min_elems)),
         params)
-
-
-def shard_params_fsdp(params: Any, mesh: Mesh, min_elems: int = 1 << 14):
-    """Place parameters onto the mesh FSDP-sharded over ``data``.
-
-    Optimizer state created from these arrays (``optax``'s
-    ``zeros_like`` moments) inherits the same placement, so Adam's
-    mu/nu shard along with the weights (ZeRO)."""
-    shardings = make_fsdp_shardings(params, mesh, min_elems)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)

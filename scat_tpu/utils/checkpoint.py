@@ -19,6 +19,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from scat_tpu.training.state import TrainState
@@ -172,6 +173,21 @@ def restore_variables_nonstrict(path: str, params: Any,
     # restore_params_nonstrict per key would read the checkpoint again
     # in full — for a ViP checkpoint that doubles the load time)
     loaded = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    # templateless restore commits each leaf with the SAVING run's
+    # sharding (e.g. FSDP 'data'-sharded params from a --param_sharding
+    # fsdp run); the consumers here pin their OWN placements (eval/demo
+    # jit replicated in_shardings — jit rejects committed args with a
+    # different sharding).  Hand back host arrays and let the consumer's
+    # jit/device_put place them: a one-time D2H at load is nothing next
+    # to a failed eval of an FSDP-trained checkpoint.  (Typed PRNG keys
+    # — the full state's ``rng`` — have no numpy form and aren't merged
+    # into any collection here, so they pass through untouched.)
+    loaded = jax.tree_util.tree_map(
+        lambda x: np.asarray(x)
+        if hasattr(x, "sharding")
+        and not jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+        else x,
+        loaded)
     new_params, skipped = _merge_nonstrict(
         params, loaded.get("params", loaded))
     _report_skipped(skipped)

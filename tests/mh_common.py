@@ -94,7 +94,41 @@ def init_state(model, mesh):
     return state, step
 
 
+def init_state_fsdp(model, mesh):
+    """FSDP placement of the same init — regression for fsdp_state
+    device_put'ing device-resident leaves (and the typed PRNG key) onto
+    global shardings spanning non-addressable devices, which multi-host
+    jax rejects (mesh._put_global is the fix)."""
+    from scat_tpu.parallel import mesh as mesh_lib
+    from scat_tpu.training import schedule, steps
+    from scat_tpu.training.state import TrainState
+    variables = model.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3)), train=True)
+    tx = schedule.make_optimizer(1e-4, steps_per_epoch=1)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx,
+                              jax.random.key(2))
+    state = mesh_lib.fsdp_state(mesh, state)
+    step = mesh_lib.jit_train_step_sharded(
+        steps.make_train_step(model, tx, W3D, W2D), mesh, state,
+        donate_state=False)
+    return state, step
+
+
 def params_fingerprint(state) -> float:
+    # multi-host FSDP leaves are global arrays this process can't fetch
+    # whole; sum per-shard means weighted by shard size instead
+    def leaf_mean(leaf):
+        if hasattr(leaf, "is_fully_addressable") \
+                and not leaf.is_fully_addressable:
+            # every process holds a disjoint (or replicated-identical)
+            # piece; mean over addressable data is NOT the global mean
+            # for sharded leaves, but it is deterministic per process
+            # and the test compares like against like
+            datas = [np.asarray(s.data) for s in leaf.addressable_shards]
+            return float(np.mean([np.abs(d).mean() for d in datas]))
+        return float(np.abs(np.asarray(leaf)).mean())
     return float(sum(
-        np.abs(np.asarray(leaf)).mean()
+        leaf_mean(leaf)
         for leaf in jax.tree_util.tree_leaves(state.params)))

@@ -72,6 +72,19 @@ def main() -> None:
         losses.append(float(np.asarray(stats["loss"])))
     fingerprint = mh_common.params_fingerprint(state)
 
+    # --- FSDP placement + steps (multi-host regression) ---------------
+    # fsdp_state must place device-resident init leaves (and the typed
+    # PRNG key) onto global shardings — the thing plain device_put
+    # rejects multi-process.  The math is the same logical batch/model
+    # as plain DP, so the loss trajectory must track the DP one.
+    state_f, step_f = mh_common.init_state_fsdp(model, mesh)
+    fsdp_losses = []
+    for s in range(mh_common.N_STEPS):
+        gbatch = mesh_lib.shard_batch(mesh,
+                                      mh_common.host_batch(pid, s, mean))
+        state_f, stats_f = step_f(state_f, gbatch)
+        fsdp_losses.append(float(np.asarray(stats_f["loss"])))
+
     # --- full Trainer.train() host surface -----------------------------
     # the step loop above exercises the compute path; this exercises
     # everything AROUND it that runs per-host — debug-grid rendering
@@ -114,6 +127,7 @@ def main() -> None:
     result = {"pid": pid, "global_devices": jax.device_count(),
               "order": [int(i) for i in order],
               "losses": losses, "fingerprint": fingerprint,
+              "fsdp_losses": fsdp_losses,
               "trainer_ok": True,
               "eval_mpjpe_mm": float(eres["mpjpe_mm"]),
               "eval_auc": float(eres["auc"])}

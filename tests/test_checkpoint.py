@@ -61,6 +61,38 @@ def test_restore_variables_single_deserialization(tmp_path, monkeypatch):
     assert len(calls) == 1
 
 
+def test_restore_variables_resharded_checkpoint(tmp_path):
+    """A checkpoint saved with NON-replicated placements (FSDP params
+    from --param_sharding fsdp) must restore into something a
+    replicated-pinned jit accepts: templateless orbax restore commits
+    leaves with the SAVING run's sharding, and jit rejects committed
+    args whose sharding differs from its in_shardings — so the loader
+    hands back host arrays."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scat_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    path = str(tmp_path / "ckpt")
+    w = jax.device_put(jnp.arange(16.0).reshape(8, 2),
+                       NamedSharding(mesh, P("data", None)))
+    ocp.PyTreeCheckpointer().save(path, {
+        "params": {"w": w},
+        "batch_stats": {"mean": np.zeros(3)}})
+    p, bs = ckpt_lib.restore_variables_nonstrict(
+        path, {"w": np.zeros((8, 2))}, {"mean": np.ones(3)})
+    assert isinstance(p["w"], np.ndarray), type(p["w"])
+    np.testing.assert_array_equal(p["w"],
+                                  np.arange(16.0).reshape(8, 2))
+
+    # the eval-step contract: replicated in_shardings must accept it
+    rep = mesh_lib.replicated(mesh)
+    out = jax.jit(lambda x: x * 2, in_shardings=(rep,))(p["w"])
+    np.testing.assert_array_equal(np.asarray(out),
+                                  2 * np.arange(16.0).reshape(8, 2))
+
+
 def test_restore_variables_scratch_fallback():
     p, bs = ckpt_lib.restore_variables_nonstrict(
         "/nonexistent_ckpt_dir", {"w": np.ones(4)}, {"mean": np.ones(3)})

@@ -120,6 +120,20 @@ def test_two_process_step_matches_single_process_oracle(worker_results):
 
 
 @pytest.mark.slow
+def test_two_process_fsdp_tracks_dp(worker_results):
+    """FSDP placement works multi-process (fsdp_state via _put_global)
+    and its loss trajectory tracks plain DP: same logical math, only
+    all-gather/reduce-scatter order differs."""
+    r0, r1 = worker_results
+    np.testing.assert_allclose(r0["fsdp_losses"], r1["fsdp_losses"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(r0["fsdp_losses"][:1], r0["losses"][:1],
+                               rtol=1e-4)
+    np.testing.assert_allclose(r0["fsdp_losses"][1:], r0["losses"][1:],
+                               rtol=1e-2)
+
+
+@pytest.mark.slow
 def test_two_process_eval_matches_single_process_oracle(
         worker_results, tmp_path):
     """Multi-host eval: both processes report the SAME full-set
@@ -146,6 +160,38 @@ def test_two_process_eval_matches_single_process_oracle(
     np.testing.assert_allclose(r0["eval_mpjpe_mm"], oracle["mpjpe_mm"],
                                rtol=1e-4)
     np.testing.assert_allclose(r0["eval_auc"], oracle["auc"], rtol=1e-4)
+
+
+def test_host_local_rows_rejects_non_batch_sharding():
+    """A shard split on a non-leading dim must fail loudly — the dim-0
+    dedup would otherwise silently drop it as a replicated duplicate,
+    truncating that dim."""
+    from scat_tpu.parallel.mesh import host_local_rows
+
+    class _Shard:
+        def __init__(self, index, data):
+            self.index, self.data = index, data
+
+    class _FakeGlobal:
+        is_fully_addressable = False
+        shape = (8, 4)
+
+        def __init__(self, shards):
+            self.addressable_shards = shards
+
+    # batch-sharded: two row blocks concatenate in global order
+    ok = _FakeGlobal([
+        _Shard((slice(4, 8), slice(None)), np.ones((4, 4))),
+        _Shard((slice(0, 4), slice(None)), np.zeros((4, 4)))])
+    out = host_local_rows(ok)
+    assert out.shape == (8, 4) and out[0, 0] == 0 and out[4, 0] == 1
+
+    # dim-1 split: loud error, not silent truncation
+    bad = _FakeGlobal([
+        _Shard((slice(0, 4), slice(0, 2)), np.zeros((4, 2))),
+        _Shard((slice(0, 4), slice(2, 4)), np.zeros((4, 2)))])
+    with pytest.raises(ValueError, match="dim 1 is split"):
+        host_local_rows(bad)
 
 
 def test_local_row_base_rejects_non_process_major_data_axis():

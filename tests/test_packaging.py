@@ -98,6 +98,16 @@ def test_wheel_is_self_contained(tmp_path):
                    check=True, capture_output=True,
                    cwd=str(tmp_path), env=env, timeout=300)
 
+    # the wheel-layout build.sh must compile the native library
+    # STANDALONE (runpy on ../data/native_loader.py, no scat_tpu
+    # package import — a slim build image has g++/numpy but no ML stack)
+    build_env = dict(os.environ)
+    build_env.pop("PYTHONPATH", None)  # nothing but the script's runpy
+    subprocess.run(["bash", str(tree / "scat_tpu/_native/build.sh")],
+                   check=True, capture_output=True, env=build_env,
+                   timeout=300)
+    assert (tree / "scat_tpu/_native/libscat_native.so").exists()
+
 
 def test_asset_defaults_are_lazy(tmp_path, monkeypatch):
     """DEFAULT_* module attrs re-resolve per access (PEP 562): an
