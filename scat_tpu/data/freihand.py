@@ -275,7 +275,9 @@ class FreiHANDDataset:
 
 
 def get_loader_frei(stage: str = "training", bs: int = 32,
-                    opt: Optional[Options] = None) -> FreiHANDDataset:
+                    opt: Optional[Options] = None, *,
+                    shuffle: Optional[bool] = None,
+                    color_jitter: Optional[bool] = None) -> FreiHANDDataset:
     """Factory matching the missing module's surface (eval.py:37).
 
     NOTE: the reference evaluates FreiHAND with ``stage='training'``
@@ -283,6 +285,13 @@ def get_loader_frei(stage: str = "training", bs: int = 32,
     evaluation split ships without xyz labels.  Non-training stages here
     use the ``evaluation`` split when its label files exist on disk and
     fall back to the (reference-matching) training split otherwise.
+
+    ``shuffle``/``color_jitter`` default from ``stage``; evaluation
+    callers that must read the *training split* (the reference quirk
+    above) pass both as False explicitly — eval batches must be
+    deterministic and un-augmented even when they come from the
+    training images (reference eval DataLoader: shuffle=False, plain
+    transform — eval.py:796, load_test_dataset.py:81-89).
     """
     opt = opt or Options()
     data_dir = os.path.join(os.path.dirname(opt.data_dir.rstrip("/")),
@@ -293,8 +302,12 @@ def get_loader_frei(stage: str = "training", bs: int = 32,
     if stage != "training" and os.path.exists(
             os.path.join(data_dir, "evaluation_xyz.json")):
         split = "evaluation"
-    return FreiHANDDataset(data_dir, split, bs,
-                           shuffle=(stage == "training"), seed=opt.seed)
+    if shuffle is None:
+        shuffle = stage == "training"
+    if color_jitter is None:
+        color_jitter = stage == "training"
+    return FreiHANDDataset(data_dir, split, bs, shuffle=shuffle,
+                           seed=opt.seed, color_jitter=color_jitter)
 
 
 def get_loader_frei_eval(opt: Optional[Options] = None) -> FreiHANDDataset:

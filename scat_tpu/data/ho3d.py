@@ -105,12 +105,18 @@ class HO3DDataset:
 
 
 def get_loader_ho3d(stage: str = "training", bs: int = 32,
-                    opt: Optional[Options] = None) -> HO3DDataset:
+                    opt: Optional[Options] = None, *,
+                    shuffle: Optional[bool] = None) -> HO3DDataset:
     """Factory matching the missing module's surface (eval.py:38).
 
     The reference evaluates HO-3D with ``stage='training'``
     (eval.py:795) — the public evaluation split has no hand labels.
     Non-training stages use the ``evaluation`` split when present.
+
+    ``shuffle`` defaults from ``stage``; evaluation callers that must
+    read the train split (the reference quirk above) pass
+    ``shuffle=False`` explicitly — the reference eval DataLoader does
+    not shuffle (eval.py:796).
     """
     opt = opt or Options()
     data_dir = os.path.join(os.path.dirname(opt.data_dir.rstrip("/")),
@@ -141,8 +147,10 @@ def get_loader_ho3d(stage: str = "training", bs: int = 32,
             print("[ho3d] evaluation split present but unlabeled or "
                   f"unreadable ({type(e).__name__}: {e}); evaluating on "
                   "the train split like the reference (eval.py:795)")
-    return HO3DDataset(data_dir, split, bs,
-                       shuffle=(stage == "training"), seed=opt.seed)
+    if shuffle is None:
+        shuffle = stage == "training"
+    return HO3DDataset(data_dir, split, bs, shuffle=shuffle,
+                       seed=opt.seed)
 
 
 def get_loader_ho3d_eval(opt: Optional[Options] = None) -> HO3DDataset:

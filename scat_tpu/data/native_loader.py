@@ -66,10 +66,16 @@ _CXX_LIBS = ["-ljpeg", "-lpng", "-lpthread"]
 
 
 def _build() -> bool:
-    cmd = _CXX_CMD + [_SRC_PATH, "-o", _SO_PATH] + _CXX_LIBS
+    # compile to a process-unique temp path, then os.replace: concurrent
+    # processes (multi-host tests, two jobs sharing a checkout or the
+    # user cache) each publish a COMPLETE binary atomically — a racing
+    # dlopen never maps a half-written .so
+    tmp = f"{_SO_PATH}.tmp.{os.getpid()}"
+    cmd = _CXX_CMD + [_SRC_PATH, "-o", tmp] + _CXX_LIBS
     try:
         os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO_PATH)
         return True
     except subprocess.CalledProcessError as e:
         # visible once: a failed build silently demotes every loader to
@@ -82,6 +88,11 @@ def _build() -> bool:
         print(f"[native] build unavailable ({e}); using the PIL "
               "pipeline")
         return False
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _stale() -> bool:

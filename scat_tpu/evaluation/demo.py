@@ -83,11 +83,17 @@ class DemoRunner:
                 {"params": jax.random.key(0), "mask": jax.random.key(1),
                  "dropout": jax.random.key(2)}, sample, train=False)
             variables = dict(variables)
-            p_, bs_ = ckpt_lib.restore_variables_nonstrict(
+            # ViP's frozen FAVOR+ projection is part of the saved
+            # TrainState — running the demo with a re-drawn one would
+            # silently use the wrong feature map (same merge as the
+            # Evaluator, one checkpoint read)
+            p_, bs_, c_ = ckpt_lib.restore_variables_nonstrict(
                 opt.checkpoint_path_eval, variables["params"],
-                variables.get("batch_stats", {}))
+                variables.get("batch_stats", {}),
+                constants=dict(variables.get("constants", {})))
             variables["params"] = p_
             variables["batch_stats"] = bs_
+            variables["constants"] = c_
         check_eval_variables(opt, variables)
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}

@@ -59,11 +59,17 @@ class Tester:
             variables = self.model.init(jax.random.key(0), sample,
                                         train=False)
             variables = dict(variables)
-            p_, bs_ = ckpt_lib.restore_variables_nonstrict(
+            # merge any saved 'constants' collection from the same
+            # checkpoint read (the Tester always builds the frankmocap
+            # head, which has none — kept for consistency with the
+            # Evaluator/DemoRunner restore shape)
+            p_, bs_, c_ = ckpt_lib.restore_variables_nonstrict(
                 opt.checkpoint_path_eval, variables["params"],
-                variables.get("batch_stats", {}))
+                variables.get("batch_stats", {}),
+                constants=dict(variables.get("constants", {})))
             variables["params"] = p_
             variables["batch_stats"] = bs_
+            variables["constants"] = c_
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
         if variables.get("constants"):  # ViP's frozen FAVOR+ projection

@@ -178,9 +178,8 @@ class ExportedPredictor:
             # (bounded by the bucket set, as in live serving)
             self._fns[name] = jax.jit(
                 jax_export.deserialize(bytearray(blob)).call)
-        self._buckets = [1]
-        while self._buckets[-1] < self.max_batch:
-            self._buckets.append(self._buckets[-1] * 2)
+        from scat_tpu.serving import bucket_ladder
+        self._buckets = bucket_ladder(self.max_batch)
 
     def predict(self, images) -> Dict[str, np.ndarray]:
         x = np.asarray(images)

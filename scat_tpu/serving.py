@@ -53,6 +53,19 @@ def pick_bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+def bucket_ladder(max_batch: int, base: int = 1) -> list:
+    """Power-of-two bucket sizes from ``base``, top clamped to
+    ``max_batch``.  Plain doubling would overshoot a non-power-of-two
+    cap (e.g. base 6, cap 60 -> ..., 48, 96 — compiling a program
+    bigger than the configured HBM cap); the ladder is shared by the
+    live predictor and ``export.ExportedPredictor`` so both serve the
+    same compiled-program set."""
+    buckets = [min(base, max_batch)]
+    while buckets[-1] < max_batch:
+        buckets.append(min(buckets[-1] * 2, max_batch))
+    return buckets
+
+
 def run_bucketed(forward, params, batch_stats, x: np.ndarray, buckets,
                  put, window: int = 4) -> Dict[str, np.ndarray]:
     """Stream a request through ``forward`` in bucket-sized chunks.
@@ -180,16 +193,12 @@ class HandPosePredictor:
         self._forward = jax.jit(_forward, **jit_kwargs)
         # bucketed batch sizes: powers of two up to max_batch (times the
         # data-axis size under a mesh, so every shard is a static
-        # shape), so at most log2(max_batch)+1 compiled programs exist
-        self._buckets = [1 if self.mesh is None
-                         else self.mesh.shape[mesh_lib.DATA_AXIS]]
-        while self._buckets[-1] < self.max_batch:
-            # clamp the top bucket to max_batch: with a non-power-of-two
-            # data axis (or max_batch), plain doubling would overshoot
-            # the configured HBM cap (e.g. axis 6, cap 60 -> ...48, 96).
-            # max_batch is already a data-axis multiple (rounded above).
-            self._buckets.append(min(self._buckets[-1] * 2,
-                                     self.max_batch))
+        # shape), so at most log2(max_batch)+1 compiled programs exist.
+        # max_batch is already a data-axis multiple (rounded above).
+        self._buckets = bucket_ladder(
+            self.max_batch,
+            base=1 if self.mesh is None
+            else self.mesh.shape[mesh_lib.DATA_AXIS])
 
     def _bucket(self, n: int) -> int:
         return pick_bucket(n, self._buckets)

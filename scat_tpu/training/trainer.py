@@ -76,11 +76,15 @@ def make_dataset(opt: Options, image_size: int, training: bool = True):
         from scat_tpu.data.multi import concat_dataset
         return concat_dataset(lbs, opt)
     if opt.eval_dataset == "frei":
+        # stage='training' picks the labeled split (the reference
+        # evaluates FreiHAND/HO-3D on it, eval.py:793-795) but eval
+        # batches must be deterministic and un-augmented
         from scat_tpu.data.freihand import get_loader_frei
-        return get_loader_frei("training", lbs, opt)
+        return get_loader_frei("training", lbs, opt,
+                               shuffle=False, color_jitter=False)
     if opt.eval_dataset == "ho3d":
         from scat_tpu.data.ho3d import get_loader_ho3d
-        return get_loader_ho3d("training", lbs, opt)
+        return get_loader_ho3d("training", lbs, opt, shuffle=False)
     from scat_tpu.data.stb import get_loader_STB_eval
     return get_loader_STB_eval(opt)
 

@@ -97,6 +97,26 @@ def test_get_loader_frei_factory(tmp_path):
     ds = freihand.get_loader_frei("training", 4, opt)
     assert isinstance(ds, freihand.FreiHANDDataset)
     assert ds.data_dir == str(root)
+    # training stage augments + shuffles
+    assert ds.color_jitter and ds.shuffle
+
+
+def test_eval_loader_is_deterministic_and_unaugmented(tmp_path):
+    """The eval path reads the TRAINING split (reference quirk,
+    eval.py:793) but must not jitter or shuffle — round 3 caught eval
+    batches going through color_jitter_np, inflating MPJPE and making
+    eval numbers vary with the epoch counter (reference eval transform
+    is plain, load_test_dataset.py:81-89; DataLoader shuffle=False)."""
+    _write_synthetic_frei(tmp_path)
+    opt = Options(data_dir=str(tmp_path / "STB"), batch_size=4,
+                  eval_dataset="frei")
+    from scat_tpu.training.trainer import make_dataset
+    ds = make_dataset(opt, 224, training=False)
+    assert isinstance(ds, freihand.FreiHANDDataset)
+    assert not ds.color_jitter and not ds.shuffle
+    # non-training stages (the _eval factory) default the same way
+    ds2 = freihand.get_loader_frei("val", 4, opt)
+    assert not ds2.color_jitter and not ds2.shuffle
 
 
 def test_rotate_pose_param_quaternion_reexec():

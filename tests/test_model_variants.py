@@ -220,6 +220,42 @@ def test_check_eval_variables_guards_vip_constants():
 
 
 @pytest.mark.slow
+def test_demo_runner_restores_vip_constants(tmp_path):
+    """DemoRunner(variables=None) must restore ViP's frozen FAVOR+
+    'constants' from the checkpoint, not keep the init-drawn projection
+    — check_eval_variables can't catch this (init constants exist, they
+    are merely WRONG), so the demo would silently decode with a
+    different feature map than training used."""
+    import optax
+    from scat_tpu.evaluation.demo import DemoRunner
+    from scat_tpu.training.state import TrainState
+    from scat_tpu.utils import checkpoint as ckpt_lib
+
+    opt = Options(net="ViP", iteration=1, compute_dtype="float32",
+                  result_dir=str(tmp_path / "out"))
+    model, mean = build_model(opt, image_size=32)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    # a DIFFERENT rng than DemoRunner's own init (key(0)): the saved
+    # projection must win over the re-drawn one
+    variables = model.init(
+        {"params": jax.random.key(7), "mask": jax.random.key(8),
+         "dropout": jax.random.key(9)}, x, train=True)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              optax.adam(1e-4), jax.random.key(3),
+                              constants=variables["constants"])
+    ckpt_lib.save_state(str(tmp_path), state, name="hand_net_final")
+    opt.checkpoint_path_eval = str(tmp_path / "hand_net_final")
+
+    runner = DemoRunner(opt, image_size=32)
+    saved = jax.tree.leaves(variables["constants"])
+    got = jax.tree.leaves(runner.variables.get("constants", {}))
+    assert got, "DemoRunner dropped the constants collection"
+    for a, b in zip(saved, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_token_heads_pallas_matches_xla(rng):
     """The 128-token HRNet/Inception head CAN ride the flash kernel
     (SURVEY §2.10 reuse) — interpret-mode kernel output must match the

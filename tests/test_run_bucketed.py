@@ -4,9 +4,25 @@ compiling a model."""
 
 import numpy as np
 
-from scat_tpu.serving import pick_bucket, run_bucketed
+from scat_tpu.serving import bucket_ladder, pick_bucket, run_bucketed
 
 BUCKETS = [1, 2, 4, 8]
+
+
+def test_bucket_ladder_clamps_to_max_batch():
+    """A non-power-of-two max_batch (the HBM cap) must clamp the top
+    bucket, not overshoot it — and the export path shares this ladder
+    (round 3 found ExportedPredictor's duplicate had drifted: a
+    max_batch=60 artifact compiled a 64-wide program)."""
+    assert bucket_ladder(64) == [1, 2, 4, 8, 16, 32, 64]
+    assert bucket_ladder(60) == [1, 2, 4, 8, 16, 32, 60]
+    assert bucket_ladder(60, base=6) == [6, 12, 24, 48, 60]
+    assert bucket_ladder(1) == [1]
+    # ExportedPredictor builds its ladder from the same helper
+    import inspect
+    from scat_tpu import export
+    assert "bucket_ladder" in inspect.getsource(
+        export.ExportedPredictor.__init__)
 
 
 def _fake_forward(params, batch_stats, images):
