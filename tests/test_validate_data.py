@@ -1,0 +1,219 @@
+"""scat-validate-data: green on valid fixture trees, loud specific
+diagnostics on corrupted ones (VERDICT r03 item 4 — real-data first
+contact as a tool, not an incident)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from scat_tpu import validate_data
+from tests.test_freihand import _write_synthetic_frei
+from tests.test_ho3d import _write_synthetic_ho3d
+from tests.test_stb import _write_synthetic_stb
+
+
+# ---------------------------------------------------------------- STB
+
+def test_stb_valid_tree_green(tmp_path):
+    root = str(_write_synthetic_stb(tmp_path, n=4))
+    report = validate_data.validate_stb(root)
+    assert report.n_errors == 0
+    assert report.n_samples == 4 * 12
+
+
+def test_stb_missing_labels_dir(tmp_path):
+    report = validate_data.validate_stb(str(tmp_path))
+    assert "stb-no-labels-dir" in report.codes("error")
+
+
+def test_stb_missing_handpara_key(tmp_path):
+    root = _write_synthetic_stb(tmp_path, n=2)
+    with open(root / "labels" / "B2Counting_SK.pkl", "wb") as f:
+        pickle.dump({"wrong_key": np.zeros((3, 21, 2))}, f)
+    report = validate_data.validate_stb(str(root))
+    assert "stb-pkl-key" in report.codes("error")
+
+
+def test_stb_bad_handpara_shape(tmp_path):
+    root = _write_synthetic_stb(tmp_path, n=2)
+    with open(root / "labels" / "B2Counting_SK.pkl", "wb") as f:
+        pickle.dump({"handPara": np.zeros((21, 3, 2))}, f)
+    report = validate_data.validate_stb(str(root))
+    assert "stb-handpara-shape" in report.codes("error")
+
+
+def test_stb_truncated_pickle(tmp_path):
+    root = _write_synthetic_stb(tmp_path, n=2)
+    p = root / "labels" / "B2Counting_SK.pkl"
+    raw = p.read_bytes()
+    p.write_bytes(raw[: len(raw) // 2])
+    report = validate_data.validate_stb(str(root))
+    assert "stb-pkl-unreadable" in report.codes("error")
+
+
+def test_stb_missing_frames(tmp_path):
+    root = _write_synthetic_stb(tmp_path, n=4)
+    os.remove(root / "B2Counting" / "SK_color_2.png")
+    report = validate_data.validate_stb(str(root))
+    assert "stb-missing-frames" in report.codes("error")
+
+
+def test_stb_wrong_units_warn(tmp_path):
+    root = _write_synthetic_stb(tmp_path, n=2)
+    # meters instead of mm: depth ~0.5 instead of ~500
+    hand = np.random.RandomState(0).rand(3, 21, 2) * 0.1 + 0.5
+    with open(root / "labels" / "B2Counting_SK.pkl", "wb") as f:
+        pickle.dump({"handPara": hand}, f)
+    report = validate_data.validate_stb(str(root))
+    assert "stb-units" in report.codes("warn")
+
+
+# ----------------------------------------------------------- FreiHAND
+
+def test_frei_valid_tree_green(tmp_path):
+    root = str(_write_synthetic_frei(tmp_path, n=4, img_size=224)[0])
+    report = validate_data.validate_frei(root)
+    assert report.n_errors == 0
+    assert report.n_samples == 4
+    # fixture sizes differ from the reference's 65920 -> warned, not err
+    assert "frei-db-size" in report.codes("warn")
+
+
+def test_frei_missing_K(tmp_path):
+    root = _write_synthetic_frei(tmp_path, n=2)[0]
+    os.remove(root / "training_K.json")
+    report = validate_data.validate_frei(str(root))
+    assert "frei-no-K" in report.codes("error")
+
+
+def test_frei_len_mismatch(tmp_path):
+    root, K, xyz, _ = _write_synthetic_frei(tmp_path, n=4)
+    with open(root / "training_xyz.json", "w") as f:
+        json.dump(xyz[:2].tolist(), f)
+    report = validate_data.validate_frei(str(root))
+    assert "frei-len-mismatch" in report.codes("error")
+
+
+def test_frei_narrow_mano(tmp_path):
+    root, K, xyz, _ = _write_synthetic_frei(tmp_path, n=4)
+    with open(root / "training_mano.json", "w") as f:
+        json.dump(np.zeros((4, 1, 40)).tolist(), f)
+    report = validate_data.validate_frei(str(root))
+    assert "frei-mano-width" in report.codes("error")
+
+
+def test_frei_noncontiguous_naming(tmp_path):
+    root = _write_synthetic_frei(tmp_path, n=4)[0]
+    os.rename(root / "training" / "rgb" / "00000001.jpg",
+              root / "training" / "rgb" / "frame_1.jpg")
+    report = validate_data.validate_frei(str(root))
+    assert "frei-naming" in report.codes("error")
+
+
+def test_frei_wrong_intrinsics(tmp_path):
+    root, K, xyz, _ = _write_synthetic_frei(tmp_path, n=2, img_size=224)
+    bad_K = K.copy()
+    bad_K[:, 0, 2] = 5000.0  # principal point far outside the frame
+    with open(root / "training_K.json", "w") as f:
+        json.dump(bad_K.tolist(), f)
+    report = validate_data.validate_frei(str(root))
+    assert "frei-projection" in report.codes("error")
+
+
+def test_frei_bad_json(tmp_path):
+    root = _write_synthetic_frei(tmp_path, n=2)[0]
+    (root / "training_K.json").write_text("{not json")
+    report = validate_data.validate_frei(str(root))
+    assert "frei-bad-json" in report.codes("error")
+
+
+# ------------------------------------------------------------- HO-3D
+
+def test_ho3d_valid_tree_green(tmp_path):
+    root = str(_write_synthetic_ho3d(tmp_path)[0])
+    report = validate_data.validate_ho3d(root)
+    assert report.n_errors == 0
+    assert report.n_samples > 0
+
+
+def test_ho3d_missing_split(tmp_path):
+    report = validate_data.validate_ho3d(str(tmp_path))
+    assert "ho3d-no-split" in report.codes("error")
+
+
+def _ho3d_meta_path(root, seq="ABF10", i=0, split="train"):
+    return root / split / seq / "meta" / f"{i:04d}.pkl"
+
+
+def test_ho3d_missing_meta_key(tmp_path):
+    root, _ = _write_synthetic_ho3d(tmp_path, frames=2)
+    mp = _ho3d_meta_path(root)
+    with open(mp, "rb") as f:
+        m = pickle.load(f)
+    del m["camMat"]
+    with open(mp, "wb") as f:
+        pickle.dump(m, f)
+    report = validate_data.validate_ho3d(str(root))
+    assert "ho3d-pkl-key" in report.codes("error")
+
+
+def test_ho3d_unlabeled_split_detected(tmp_path):
+    root, _ = _write_synthetic_ho3d(tmp_path, frames=2, labeled=False)
+    report = validate_data.validate_ho3d(str(root))
+    assert "ho3d-unlabeled" in report.codes("error")
+
+
+def test_ho3d_unpaired_frames_warn(tmp_path):
+    root, _ = _write_synthetic_ho3d(tmp_path, frames=3)
+    os.remove(_ho3d_meta_path(root, i=1))
+    report = validate_data.validate_ho3d(str(root))
+    assert "ho3d-unpaired" in report.codes("warn")
+    assert report.n_errors == 0
+
+
+# ------------------------------------------------- CLI / auto-detect
+
+def test_detect_dataset(tmp_path):
+    (tmp_path / "stb").mkdir()
+    stb_root = _write_synthetic_stb(tmp_path / "stb", n=1)
+    frei_root = _write_synthetic_frei(tmp_path / "frei", n=1)[0]
+    ho3d_root = _write_synthetic_ho3d(tmp_path / "ho3d", frames=1)[0]
+    assert validate_data.detect_dataset(str(stb_root)) == "stb"
+    assert validate_data.detect_dataset(str(frei_root)) == "frei"
+    assert validate_data.detect_dataset(str(ho3d_root)) == "ho3d"
+    assert validate_data.detect_dataset(str(tmp_path)) is None
+
+
+def test_cli_exit_codes(tmp_path):
+    root = _write_synthetic_frei(tmp_path, n=2, img_size=224)[0]
+    assert validate_data.main(
+        ["--data_dir", str(root), "--dataset", "frei"]) == 0
+    os.remove(root / "training_K.json")
+    assert validate_data.main(
+        ["--data_dir", str(root), "--dataset", "frei"]) == 1
+    assert validate_data.main(
+        ["--data_dir", str(tmp_path / "nope"), "--dataset", "auto"]) == 2
+
+
+@pytest.mark.slow
+def test_sample_pipeline_dumps_crops(tmp_path):
+    pytest.importorskip("matplotlib")
+    root = _write_synthetic_frei(tmp_path, n=4, img_size=128)[0]
+    out = tmp_path / "out"
+    paths = validate_data.run_sample_pipeline(
+        "frei", str(root), 2, str(out))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+@pytest.mark.slow
+def test_cli_n_mode_stb(tmp_path):
+    pytest.importorskip("matplotlib")
+    root = _write_synthetic_stb(tmp_path, n=4)
+    rc = validate_data.main(
+        ["--data_dir", str(root), "--dataset", "stb", "--n", "2",
+         "--out", str(tmp_path / "dbg")])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "dbg")) == 2
