@@ -11,6 +11,17 @@ The reference has no accumulation (one optimizer step per DataLoader
 batch, /root/reference/train.py:136-209); this quantifies the TPU-side
 extension documented in README/MIGRATING.
 
+Timing methodology (fixed in round 4 — VERDICT r03 item 2): the
+original probe timed per-dispatch python launches, exactly what
+bench.py's note rejects for this environment (the remote-execution
+tunnel adds per-launch input-processing overhead and memoizes repeated
+identical launches); its 264 ms bs-384 figure disagreed with the
+K-rolled batch-size-scaling table's 164.5 ms for the same config by a
+tunnel-launch constant.  The step time now comes from K steps rolled
+into ONE program (lax.scan, donated state), the same harness as
+bench.py and the canary; memory numbers are XLA's static accounting of
+the single compiled step and are launch-independent (unchanged).
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
     python benchmarks/probe_accum_memory.py [--bs 384] [--accums 1,4,8]
 """
@@ -53,36 +64,46 @@ def main():
                               variables.get("batch_stats", {}), tx,
                               jax.random.key(2))
 
+    K = args.time_steps
     for accum in (int(a) for a in args.accums.split(",")):
-        step = jax.jit(
-            steps.make_train_step(model, tx, 1e5, 10.0,
-                                  grad_accum=accum),
-            donate_argnums=(0,))
-        compiled = step.lower(state, batch).compile()
+        step_fn = steps.make_train_step(model, tx, 1e5, 10.0,
+                                        grad_accum=accum)
+        compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+            state, batch).compile()
         ma = compiled.memory_analysis()
         row = {"accum": accum, "bs": args.bs,
                "temp_MB": round(ma.temp_size_in_bytes / 2**20, 1),
                "args_MB": round(ma.argument_size_in_bytes / 2**20, 1),
                "output_MB": round(ma.output_size_in_bytes / 2**20, 1)}
-        # measured step time.  Rebuild the state from COPIED leaves per
-        # accum setting: TrainState.create shares the `variables`
-        # buffers and device_put of an already-committed array is a
-        # no-op, so the donated run would delete the shared arrays and
-        # the next accum's run would hit "Array has been deleted".
+        # K-rolled step time (ONE launch of a lax.scan over K steps;
+        # donated state makes every launch unique, so the tunnel can
+        # neither memoize it nor tax each step with launch overhead)
+        def train_k(s, b):
+            def body(si, _):
+                s2, st = step_fn(si, b)
+                return s2, st["loss"]
+            return jax.lax.scan(body, s, None, length=K)
+
+        train_jit = jax.jit(train_k, donate_argnums=(0,))
+        # Rebuild the state from COPIED leaves per accum setting:
+        # TrainState.create shares the `variables` buffers and
+        # device_put of an already-committed array is a no-op, so the
+        # donated run would delete the shared arrays and the next
+        # accum's run would hit "Array has been deleted".
         s = TrainState.create(
             jax.tree.map(jnp.array, variables["params"]),
             jax.tree.map(jnp.array, variables.get("batch_stats", {})),
             tx, jax.random.key(2))
-        out = compiled(s, batch)  # warmup (s consumed)
-        jax.block_until_ready(out)
+        s, losses = train_jit(s, batch)   # compile + warm
+        jax.block_until_ready(losses)
         times = []
-        for _ in range(args.time_steps):
-            s, _ = out
+        for _ in range(3):
             t0 = time.perf_counter()
-            out = compiled(s, batch)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
+            s, losses = train_jit(s, batch)
+            jax.block_until_ready(losses)
+            times.append((time.perf_counter() - t0) / K)
         row["step_ms"] = round(min(times) * 1000.0, 2)
+        row["step_ms_reps"] = [round(t * 1000.0, 2) for t in times]
         print(json.dumps(row), flush=True)
 
 

@@ -121,6 +121,12 @@ class Options:
     # 13.0 ms) scale on v5e (benchmarks/RESULTS.md), so it is opt-in,
     # separate from the flash-attention kernel (which wins and is on).
     use_pallas_favor: bool = False
+    # FAVOR+ einsum precision ladder (models/performer.py
+    # favor_precisions): "highest" | "high" | "default" | "mixed" |
+    # "mixed_high".  Measured on-chip in
+    # benchmarks/probe_vip_precision.py (RESULTS.md "ViP precision
+    # ladder"); the default is the measured winner.
+    favor_precision: str = "highest"
     # Rematerialize ViP's performer blocks in the backward: measured
     # 16% SLOWER but 35% less temp HBM (14.6 -> 9.5 GB at bs 96) —
     # an OOM-relief lever for large ViP batches, numerically identical

@@ -106,7 +106,8 @@ def build_model(opt: Options, image_size: int = 224,
                     iteration=opt.iteration,
                     use_pallas=opt.use_pallas_favor,
                     remat=opt.remat_blocks,
-                    dtype=_dtype(opt))
+                    dtype=_dtype(opt),
+                    favor_precision=opt.favor_precision)
     else:
         raise ValueError(f"unknown --net {opt.net!r}")
     return model, mean

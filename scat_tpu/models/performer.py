@@ -23,7 +23,27 @@ import jax
 import jax.numpy as jnp
 
 
-def favor_features(x: jax.Array, w: jax.Array) -> jax.Array:
+def favor_precisions(name: str):
+    """FAVOR+ precision ladder: (feature-dot, contraction-dot) MXU
+    precisions.  The feature dot ``w^T x`` feeds ``exp`` — input
+    rounding is amplified exponentially — while the three contraction
+    dots (normalizer D, kp^T v, qp (kp^T v)) only average already-
+    computed features.  Measured on-chip (benchmarks/
+    probe_vip_precision.py, RESULTS.md "ViP precision ladder"):
+    ``mixed`` keeps the exp input exact and runs the bandwidth-heavy
+    contractions at the MXU's native bf16 rate."""
+    P = jax.lax.Precision
+    return {
+        "highest": (P.HIGHEST, P.HIGHEST),
+        "high": (P.HIGH, P.HIGH),
+        "default": (P.DEFAULT, P.DEFAULT),
+        "mixed": (P.HIGHEST, P.DEFAULT),        # exact exp, fast avg
+        "mixed_high": (P.HIGH, P.DEFAULT),
+    }[name]
+
+
+def favor_features(x: jax.Array, w: jax.Array,
+                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Positive random features for the Gaussian (softmax) kernel.
 
     ``x`` [..., T, d], ``w`` [m, d] frozen Gaussian; returns [..., T, m]
@@ -31,24 +51,23 @@ def favor_features(x: jax.Array, w: jax.Array) -> jax.Array:
     """
     m = w.shape[0]
     xd = jnp.sum(x * x, axis=-1, keepdims=True) / 2.0
-    wtx = jnp.einsum("...td,md->...tm", x, w,
-                     precision=jax.lax.Precision.HIGHEST)
+    wtx = jnp.einsum("...td,md->...tm", x, w, precision=precision)
     return jnp.exp(wtx - xd) / math.sqrt(m)
 
 
 def favor_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    w: jax.Array) -> jax.Array:
+                    w: jax.Array,
+                    precision: str = "highest") -> jax.Array:
     """Linear-time attention over [..., T, d] with feature map ``w``:
     ``qp (kp^T v) / (qp sum_t kp)`` (reference vision_performer.py:45-53).
     """
-    qp = favor_features(q, w)
-    kp = favor_features(k, w)
+    feat_p, con_p = favor_precisions(precision)
+    qp = favor_features(q, w, feat_p)
+    kp = favor_features(k, w, feat_p)
     D = jnp.einsum("...tm,...m->...t", qp, kp.sum(axis=-2),
-                   precision=jax.lax.Precision.HIGHEST)[..., None]
-    kptv = jnp.einsum("...tn,...tm->...nm", v, kp,
-                      precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("...tm,...nm->...tn", qp, kptv,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=con_p)[..., None]
+    kptv = jnp.einsum("...tn,...tm->...nm", v, kp, precision=con_p)
+    y = jnp.einsum("...tm,...nm->...tn", qp, kptv, precision=con_p)
     return y / D
 
 
@@ -87,6 +106,7 @@ class PerformerBlock(nn.Module):
     dp_ratio: float = 0.1
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    favor_precision: str = "highest"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -116,7 +136,8 @@ class PerformerBlock(nn.Module):
                 q.astype(jnp.float32), k.astype(jnp.float32),
                 v.astype(jnp.float32), w)
         else:
-            attn = favor_attention(q, k, v, w)    # [b, h, t, emb_s]
+            attn = favor_attention(q, k, v, w,    # [b, h, t, emb_s]
+                                   precision=self.favor_precision)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, emb)
         attn = _torch_linear_dense(emb, emb, self.dtype, "proj")(attn)
         attn = nn.Dropout(self.dp_ratio)(attn,
@@ -154,6 +175,7 @@ class ViP(nn.Module):
     # opposite verdict from the conv heads, where remat measured slower.
     remat: bool = False
     dtype: Any = jnp.float32
+    favor_precision: str = "highest"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True,
@@ -194,6 +216,7 @@ class ViP(nn.Module):
             tok = block_cls(self.emb_s, self.heads,
                             self.kernel_ratio, self.dropout,
                             self.use_pallas, self.dtype,
+                            self.favor_precision,
                             name=f"block_{i}")(tok, deterministic)
             tok = shard_tokens(tok)  # re-anchor across block boundaries
         feat = tok.mean(axis=1).astype(jnp.float32)
