@@ -42,23 +42,40 @@ def main():
     for n in (1, 8, 32, 64):
         # warm the bucket
         pred.predict(rng.randint(0, 255, (n, 224, 224, 3), np.uint8))
-        lats = []
+        lats, dev = [], []
         for it in range(30):
             req = rng.randint(0, 255, (n, 224, 224, 3), np.uint8)
             t0 = time.perf_counter()
             out = pred.predict(req)
             _ = out["joints_3d"][0, 0, 0]   # force D2H completion
             lats.append((time.perf_counter() - t0) * 1000)
-        lats = np.sort(lats)
+            # chip-true column (VERDICT r03 item 6): device dispatch ->
+            # D2H complete, AFTER the request upload finished — the
+            # link-independent per-chunk latency (serving.run_bucketed
+            # measurement mode).  Separate pass: timing serializes the
+            # chunk pipeline, so it must not pollute the e2e numbers.
+            times = []
+            pred.predict(req, chunk_device_times=times)
+            dev.extend(t * 1000 for t in times)
+        lats, dev = np.sort(lats), np.sort(dev)
         results[f"bs{n}"] = {
             "p50_ms": round(float(np.percentile(lats, 50)), 2),
             "p99_ms": round(float(np.percentile(lats, 99)), 2),
+            "device_p50_ms": round(float(np.percentile(dev, 50)), 2),
+            "device_p99_ms": round(float(np.percentile(dev, 99)), 2),
             "crops_per_sec": round(n / np.percentile(lats, 50) * 1000,
                                    1),
         }
-        print(f"bs{n:3d}: p50 {results[f'bs{n}']['p50_ms']:7.2f} ms  "
-              f"p99 {results[f'bs{n}']['p99_ms']:7.2f} ms  "
-              f"{results[f'bs{n}']['crops_per_sec']:8.1f} crops/s")
+        r = results[f"bs{n}"]
+        print(f"bs{n:3d}: p50 {r['p50_ms']:7.2f} ms  "
+              f"p99 {r['p99_ms']:7.2f} ms  "
+              f"device p50 {r['device_p50_ms']:6.2f} ms  "
+              f"p99 {r['device_p99_ms']:6.2f} ms  "
+              f"{r['crops_per_sec']:8.1f} crops/s")
+        # the co-located estimate the prose quoted (~bucket/infer-rate):
+        # device p50 should sit within a few x of bucket/11.4k s
+        est_ms = n / 11441.0 * 1000
+        results[f"bs{n}"]["colocated_estimate_ms"] = round(est_ms, 2)
     print(json.dumps(results))
 
 

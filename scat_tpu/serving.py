@@ -21,6 +21,7 @@ Example:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, Optional
 
 import jax
@@ -67,7 +68,9 @@ def bucket_ladder(max_batch: int, base: int = 1) -> list:
 
 
 def run_bucketed(forward, params, batch_stats, x: np.ndarray, buckets,
-                 put, window: int = 4) -> Dict[str, np.ndarray]:
+                 put, window: int = 4,
+                 chunk_device_times: Optional[list] = None
+                 ) -> Dict[str, np.ndarray]:
     """Stream a request through ``forward`` in bucket-sized chunks.
 
     Pads the request so every chunk is exactly a bucket size: full
@@ -76,7 +79,14 @@ def run_bucketed(forward, params, batch_stats, x: np.ndarray, buckets,
     A bounded in-flight window keeps a few chunks pipelined so chunk
     k+1's upload/compute overlaps chunk k's D2H, but fetches as it goes:
     an unbounded launch list would hold EVERY request chunk resident in
-    HBM at once (a 50k-crop request is ~7.5 GB)."""
+    HBM at once (a 50k-crop request is ~7.5 GB).
+
+    ``chunk_device_times``: pass a list to record per-chunk DEVICE-side
+    latency seconds (dispatch -> D2H complete, measured AFTER the
+    request upload has finished) — the link-independent column of the
+    serving latency table (benchmarks/bench_serving.py).  Timing blocks
+    each chunk, so this mode disables the in-flight pipelining; use it
+    for measurement, not the hot path."""
     n = x.shape[0]
     big = buckets[-1]
     rem = n % big
@@ -99,7 +109,17 @@ def run_bucketed(forward, params, batch_stats, x: np.ndarray, buckets,
     for s in starts:
         if len(inflight) >= window:
             drain_one()
-        inflight.append(forward(params, batch_stats, put(x[s:s + big])))
+        if chunk_device_times is None:
+            inflight.append(
+                forward(params, batch_stats, put(x[s:s + big])))
+        else:
+            xb = put(x[s:s + big])
+            jax.block_until_ready(xb)          # upload complete
+            t0 = time.perf_counter()
+            out = forward(params, batch_stats, xb)
+            jax.block_until_ready(out)         # D2H complete
+            chunk_device_times.append(time.perf_counter() - t0)
+            inflight.append(out)
     while inflight:
         drain_one()
     return {"camera": np.concatenate(cams)[:n],
@@ -213,11 +233,15 @@ class HandPosePredictor:
                 jax.block_until_ready(
                     self._forward(self.params, self.batch_stats, x))
 
-    def predict(self, images) -> Dict[str, np.ndarray]:
+    def predict(self, images,
+                chunk_device_times: Optional[list] = None
+                ) -> Dict[str, np.ndarray]:
         """``images``: [N,H,W,3] uint8 [0,255] or float [-1,1] crops.
         N is arbitrary; requests pad to the next bucket.  Returns numpy
         ``camera [N,3]``, ``joints_3d [N,21,3]`` (root-centered, meters),
-        ``joints_2d [N,21,2]`` (crop pixels)."""
+        ``joints_2d [N,21,2]`` (crop pixels).
+
+        ``chunk_device_times``: measurement mode — see run_bucketed."""
         x = np.asarray(images)
         check_image_dtype(x)
         # uint8 stays uint8: device-side normalization (see _forward)
@@ -225,7 +249,8 @@ class HandPosePredictor:
         put = (jnp.asarray if self._batch_sh is None
                else lambda a: jax.device_put(a, self._batch_sh))
         return run_bucketed(self._forward, self.params,
-                            self.batch_stats, x, self._buckets, put)
+                            self.batch_stats, x, self._buckets, put,
+                            chunk_device_times=chunk_device_times)
 
     def predict_from_frames(self, frames: np.ndarray,
                             joints_2d_hint: np.ndarray

@@ -119,3 +119,19 @@ def test_mesh_predict_matches_single_device(rng):
     np.testing.assert_allclose(a["joints_3d"], b["joints_3d"], atol=1e-4)
     np.testing.assert_allclose(a["joints_2d"], b["joints_2d"], atol=1e-3)
     np.testing.assert_allclose(a["camera"], b["camera"], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_predict_device_timing_mode(rng):
+    """chunk_device_times measurement mode: one entry per chunk,
+    outputs identical to the pipelined path (serving.run_bucketed)."""
+    p = _predictor()
+    req = (rng.rand(70, IMG, IMG, 3) * 255).astype(np.uint8)
+    out_fast = p.predict(req)
+    times = []
+    out_timed = p.predict(req, chunk_device_times=times)
+    # 70 crops over a max-bucket-64 ladder -> one 64-chunk + one 8-chunk
+    assert len(times) == 2
+    assert all(t > 0 for t in times)
+    for k in ("camera", "joints_3d", "joints_2d"):
+        np.testing.assert_allclose(out_timed[k], out_fast[k], atol=1e-6)
