@@ -97,7 +97,11 @@ def main():
     # run K forwards, and subtract the separately-measured datagen time.
     from scat_tpu.data.synthetic import _synth_batch_impl
     template = jnp.asarray(mean[3:].reshape(21, 3))
-    K = 8
+    # K=32: the round-4 canary (benchmarks/canary.py, RESULTS.md
+    # "Inference canary") showed the original K=8 subtraction has a
+    # +-10% single-rep spread (the entire r01->r03 "drift" band) while
+    # K=32/64 reps agree within ~1% across every round's tree.
+    K = 32 if on_tpu else 2
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     data_sh = NamedSharding(mesh, P("data"))

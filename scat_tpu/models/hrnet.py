@@ -73,17 +73,32 @@ def _nearest_upsample(x, factor: int):
 
 
 class StageModule(nn.Module):
-    """Parallel branches + full fuse (reference hrnet.py:79-144)."""
+    """Parallel branches + full fuse (reference hrnet.py:79-144).
+
+    ``fuse_mode``:
+      * "sum" (default, reference parity): per-source 1x1 conv + BN +
+        nearest-upsample going up, strided 3x3 chains going down, then
+        an elementwise SUM over sources (ref :96-144).
+      * "concat": traffic/MXU experiment (benchmarks/probe_hrnet.py) —
+        upsample the RAW source maps, run the strided chains going
+        down, CONCAT everything at the target resolution and fuse with
+        ONE 1x1 conv (K = sum of source widths — one large matmul and
+        one BN pass instead of per-source smalls).  Same asymptotic
+        flops for the up path, different parameterization — a
+        non-parity probe variant, not a checkpoint-compatible option.
+    """
 
     stage: int
     output_branches: int
     c: int
     conv: Any
     norm: Any
+    fuse_mode: str = "sum"
 
     @nn.compact
     def __call__(self, xs):
         assert len(xs) == self.stage
+        assert self.fuse_mode in ("sum", "concat")
         # four BasicBlocks per branch (ref :88-93)
         ys = []
         for i, x in enumerate(xs):
@@ -96,15 +111,19 @@ class StageModule(nn.Module):
         fused = []
         for i in range(self.output_branches):
             acc = None
+            cat = []
             for j in range(self.stage):
                 y = ys[j]
                 if i == j:
                     pass
                 elif i < j:
-                    y = self.conv(self.c * (2 ** i), (1, 1),
-                                  name=f"fuse{i}_{j}_conv")(y)
-                    y = self.norm(name=f"fuse{i}_{j}_bn")(y)
-                    y = _nearest_upsample(y, 2 ** (j - i))
+                    if self.fuse_mode == "sum":
+                        y = self.conv(self.c * (2 ** i), (1, 1),
+                                      name=f"fuse{i}_{j}_conv")(y)
+                        y = self.norm(name=f"fuse{i}_{j}_bn")(y)
+                        y = _nearest_upsample(y, 2 ** (j - i))
+                    else:
+                        y = _nearest_upsample(y, 2 ** (j - i))
                 else:  # i > j: chain of stride-2 3x3 convs
                     for k in range(i - j - 1):
                         y = self.conv(self.c * (2 ** j), (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
@@ -114,8 +133,18 @@ class StageModule(nn.Module):
                     y = self.conv(self.c * (2 ** i), (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                   name=f"fuse{i}_{j}_final_conv")(y)
                     y = self.norm(name=f"fuse{i}_{j}_final_bn")(y)
-                acc = y if acc is None else acc + y
-            fused.append(nn.relu(acc))
+                if self.fuse_mode == "sum":
+                    acc = y if acc is None else acc + y
+                else:
+                    cat.append(y)
+            if self.fuse_mode == "sum":
+                fused.append(nn.relu(acc))
+            else:
+                y = jnp.concatenate(cat, axis=-1)
+                y = self.conv(self.c * (2 ** i), (1, 1),
+                              name=f"fuse{i}_cat_conv")(y)
+                y = self.norm(name=f"fuse{i}_cat_bn")(y)
+                fused.append(nn.relu(y))
         return fused
 
 
@@ -126,6 +155,9 @@ class HRNet(nn.Module):
     c: int = 48
     nof_joints: int = 17
     dtype: Any = jnp.float32
+    # probe-only knobs (benchmarks/probe_hrnet.py); defaults = parity
+    fuse_mode: str = "sum"
+    stop_after: str = "full"   # "layer1" | "stage2" | "stage3" | "full"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -143,26 +175,33 @@ class HRNet(nn.Module):
         x = HRBottleneck(64, conv, norm, project=True, name="layer1_0")(x)
         for i in range(1, 4):
             x = HRBottleneck(64, conv, norm, name=f"layer1_{i}")(x)
+        if self.stop_after == "layer1":
+            return x
+        stage = partial(StageModule, c=self.c, conv=conv, norm=norm,
+                        fuse_mode=self.fuse_mode)
         # transition1 -> 2 branches
         b0 = nn.relu(norm(name="t1_bn0")(conv(self.c, (3, 3), padding=[(1, 1), (1, 1)],
                                               name="t1_conv0")(x)))
         b1 = nn.relu(norm(name="t1_bn1")(conv(self.c * 2, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                               name="t1_conv1")(x)))
         xs = [b0, b1]
-        xs = StageModule(2, 2, self.c, conv, norm, name="stage2_0")(xs)
+        xs = stage(2, 2, name="stage2_0")(xs)
+        if self.stop_after == "stage2":
+            return xs[0]
         # transition2 -> new branch from the lowest-res branch
         b2 = nn.relu(norm(name="t2_bn")(conv(self.c * 4, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                              name="t2_conv")(xs[-1])))
         xs = [xs[0], xs[1], b2]
         for m in range(4):
-            xs = StageModule(3, 3, self.c, conv, norm,
-                             name=f"stage3_{m}")(xs)
+            xs = stage(3, 3, name=f"stage3_{m}")(xs)
+        if self.stop_after == "stage3":
+            return xs[0]
         b3 = nn.relu(norm(name="t3_bn")(conv(self.c * 8, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                                              name="t3_conv")(xs[-1])))
         xs = [xs[0], xs[1], xs[2], b3]
-        xs = StageModule(4, 4, self.c, conv, norm, name="stage4_0")(xs)
-        xs = StageModule(4, 4, self.c, conv, norm, name="stage4_1")(xs)
-        xs = StageModule(4, 1, self.c, conv, norm, name="stage4_2")(xs)
+        xs = stage(4, 4, name="stage4_0")(xs)
+        xs = stage(4, 4, name="stage4_1")(xs)
+        xs = stage(4, 1, name="stage4_2")(xs)
         out = nn.Conv(self.nof_joints, (1, 1), dtype=self.dtype,
                       name="final_layer")(xs[0])
         return out

@@ -126,3 +126,33 @@ def test_inception_matches_torch_reference(rng):
     assert got.shape[-1] == 768
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
                                want.numpy(), atol=2e-3)
+
+
+def test_hrnet_probe_knobs_default_to_parity(rng):
+    """The probe-only fields (fuse_mode/stop_after —
+    benchmarks/probe_hrnet.py) leave the default model untouched, and
+    each knob produces the expected shapes."""
+    import jax
+    import jax.numpy as jnp
+    from scat_tpu.models.hrnet import HRNet
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    base = HRNet(c=16, nof_joints=32)
+    v_base = base.init(jax.random.key(0), x, train=False)
+    # concat fuse: different param tree (single cat conv per output
+    # branch), valid output, same output shape
+    cat = HRNet(c=16, nof_joints=32, fuse_mode="concat")
+    v_cat = cat.init(jax.random.key(0), x, train=False)
+    assert "fuse0_cat_conv" in v_cat["params"]["stage2_0"]
+    assert "fuse0_1_conv" not in v_cat["params"]["stage2_0"]
+    out_cat = cat.apply(v_cat, x, train=False)
+    out_base = base.apply(v_base, x, train=False)
+    assert out_cat.shape == out_base.shape == (1, 16, 16, 32)
+    assert bool(jnp.all(jnp.isfinite(out_cat)))
+    # stage prefixes stop early with the documented shapes
+    shapes = {"layer1": (1, 16, 16, 256), "stage2": (1, 16, 16, 16),
+              "stage3": (1, 16, 16, 16)}
+    for stop, want in shapes.items():
+        m = HRNet(c=16, nof_joints=32, stop_after=stop)
+        v = m.init(jax.random.key(0), x, train=False)
+        assert m.apply(v, x, train=False).shape == want, stop
