@@ -32,6 +32,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -95,12 +96,14 @@ def main():
             jax.tree.map(jnp.array, variables.get("batch_stats", {})),
             tx, jax.random.key(2))
         s, losses = train_jit(s, batch)   # compile + warm
-        jax.block_until_ready(losses)
+        np.asarray(losses)   # host fetch: D2H cannot finish early
+        # (block_until_ready has been seen returning before execution
+        # through the tunnel — probe_hrnet.py's bogus first read)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             s, losses = train_jit(s, batch)
-            jax.block_until_ready(losses)
+            np.asarray(losses)
             times.append((time.perf_counter() - t0) / K)
         row["step_ms"] = round(min(times) * 1000.0, 2)
         row["step_ms_reps"] = [round(t * 1000.0, 2) for t in times]

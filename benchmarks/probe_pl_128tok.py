@@ -98,12 +98,15 @@ def bench(use_pallas: bool, pl_reg: bool):
         return jax.lax.fori_loop(0, K, body, 0.0)
 
     fn = jax.jit(grad_k)
-    out = fn(params, jnp.int32(0))
-    jax.block_until_ready(out)
+    # float() = host fetch; block_until_ready can return early through
+    # the tunnel (probe_hrnet.py's bogus first read)
+    float(fn(params, jnp.int32(0)))
     t0 = time.perf_counter()
-    out = fn(params, jnp.int32(1))
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / K * 1e3
+    float(fn(params, jnp.int32(1)))
+    dt1 = (time.perf_counter() - t0) / K
+    t0 = time.perf_counter()
+    float(fn(params, jnp.int32(2)))
+    return min(dt1, (time.perf_counter() - t0) / K) * 1e3
 
 
 def main():
