@@ -20,6 +20,12 @@ run hits them as a mid-epoch crash:
   * HO-3D v2 — ``{dir}/{split}/{seq}/rgb/*.png`` + ``meta/{frame}.pkl``
                with handJoints3D/camMat/handPose/handBeta; unlabeled
                public evaluation split detected (scat_tpu/data/ho3d.py)
+  * MHP      — ``annotated_frames/data_N/{frame}_webcam_M.jpg`` +
+               ``{frame}_joints.txt`` + ``calibrations/.../
+               {rvec,tvec}.pkl`` (scat_tpu/data/mhp.py)
+  * RHD v2   — ``{split}/color/%05d.png`` + ``anno_{split}.pickle``
+               with xyz/uv_vis/K, including a K-vs-uv_vis
+               consistency check (scat_tpu/data/rhd.py)
 
 ``--n K`` additionally runs the FULL label pipeline (the real loader
 factories, fused crop, 105/166 label packing) on K samples and dumps
@@ -487,6 +493,174 @@ def validate_ho3d(data_dir: str, split: str = "train",
 
 
 # ---------------------------------------------------------------------
+# MHP (Multiview Hand Pose)
+# ---------------------------------------------------------------------
+
+def validate_mhp(data_dir: str, max_frames: int = 20) -> Report:
+    """Schema walk of an MHP tree as scat_tpu.data.mhp reads it
+    (annotated_frames/data_N/{frame}_webcam_M.jpg + {frame}_joints.txt
+    + calibrations/data_N/webcam_M/{rvec,tvec[,intrinsics]}.pkl)."""
+    from scat_tpu.data import mhp
+
+    report = Report(dataset="mhp")
+    frames_root = os.path.join(data_dir, "annotated_frames")
+    calib_root = os.path.join(data_dir, "calibrations")
+    if not os.path.isdir(frames_root):
+        report.error("mhp-no-frames-dir", frames_root,
+                     "annotated_frames/ missing — not an MHP root?")
+        return report
+    if not os.path.isdir(calib_root):
+        report.error("mhp-no-calib-dir", calib_root,
+                     "calibrations/ missing (rvec/tvec pickles per "
+                     "sequence+camera)")
+    seqs = sorted(d for d in os.listdir(frames_root)
+                  if os.path.isdir(os.path.join(frames_root, d)))
+    if not seqs:
+        report.error("mhp-no-seqs", frames_root,
+                     "no data_N sequence directories")
+        return report
+    import re as _re
+    for seq in seqs:
+        sdir = os.path.join(frames_root, seq)
+        files = os.listdir(sdir)
+        cams = sorted({int(m.group(1)) for f in files
+                       for m in [_re.match(r"^\d+_webcam_(\d+)\.jpg$",
+                                           f)] if m})
+        if not cams:
+            report.warn("mhp-no-cam-frames", sdir,
+                        "no {frame}_webcam_{M}.jpg files — sequence "
+                        "contributes nothing")
+            continue
+        n_txt = sum(1 for f in files if f.endswith("_joints.txt"))
+        if n_txt == 0:
+            report.error("mhp-no-joints", sdir,
+                         "no {frame}_joints.txt annotations")
+            continue
+        report.n_samples += n_txt * len(cams)
+        # joints.txt format on a few files
+        checked = 0
+        for f in sorted(files):
+            if not f.endswith("_joints.txt") or checked >= max_frames:
+                continue
+            try:
+                mhp.read_joints_txt(os.path.join(sdir, f))
+            except ValueError as e:
+                report.error("mhp-joints-shape", os.path.join(sdir, f),
+                             str(e))
+            checked += 1
+        # calibration per camera
+        for cam in cams:
+            calib = os.path.join(calib_root, seq, f"webcam_{cam}")
+            missing = [n for n in ("rvec.pkl", "tvec.pkl")
+                       if not os.path.exists(os.path.join(calib, n))]
+            if missing:
+                report.error("mhp-no-extrinsics", calib,
+                             f"missing {missing} — loader needs "
+                             "world->camera extrinsics")
+                continue
+            if not os.path.exists(os.path.join(calib,
+                                               "intrinsics.pkl")):
+                report.info("mhp-default-K", calib,
+                            "no intrinsics.pkl: toolkit default "
+                            "Logitech C270 K used (mhp.DEFAULT_K)")
+        # projection plausibility on the first paired frame of cam 1
+        try:
+            s = mhp.MHPSequence(data_dir, seq, cams[0])
+            if s.seq_len():
+                img_path, jt = s.frames[0]
+                size = _image_size(img_path, report, "mhp-bad-image")
+                if size is not None:
+                    xyz = mhp.read_joints_txt(jt)
+                    cam_xyz = mhp.world_to_camera(xyz, s.rvec, s.tvec)
+                    j2d = mhp.project_points(s.K, cam_xyz)
+                    _check_projection(j2d, size, report,
+                                      "mhp-projection", jt,
+                                      f"{seq}/webcam_{cams[0]}")
+        except (ValueError, OSError, pickle.UnpicklingError, EOFError,
+                KeyError) as e:
+            report.error("mhp-sequence-load", os.path.join(
+                calib_root, seq),
+                f"sequence probe failed ({type(e).__name__}: {e})")
+    return report
+
+
+# ---------------------------------------------------------------------
+# RHD (Rendered Handpose Dataset)
+# ---------------------------------------------------------------------
+
+def validate_rhd(data_dir: str, split: str = "training",
+                 max_anno: int = 50) -> Report:
+    """Schema walk of an RHD v2 tree as scat_tpu.data.rhd reads it
+    ({split}/color/%05d.png + {split}/anno_{split}.pickle)."""
+    report = Report(dataset="rhd")
+    anno_path = os.path.join(data_dir, split, f"anno_{split}.pickle")
+    color_dir = os.path.join(data_dir, split, "color")
+    if not os.path.exists(anno_path):
+        report.error("rhd-no-anno", anno_path,
+                     "anno_{split}.pickle missing — the loader "
+                     "silently yields a ZERO-LENGTH dataset without it")
+        return report
+    anno = _load_pickle(anno_path, report, "rhd-anno-unreadable")
+    if anno is None:
+        return report
+    if not isinstance(anno, dict) or not anno:
+        report.error("rhd-anno-type", anno_path,
+                     f"expected non-empty dict index->sample, got "
+                     f"{type(anno).__name__} of len "
+                     f"{len(anno) if hasattr(anno, '__len__') else '?'}")
+        return report
+    report.n_samples = len(anno)
+    for idx in sorted(anno.keys())[:max_anno]:
+        a = anno[idx]
+        missing = [k for k in ("xyz", "uv_vis", "K")
+                   if not isinstance(a, dict) or k not in a]
+        if missing:
+            report.error("rhd-anno-key", f"{anno_path}[{idx}]",
+                         f"missing {missing} (have "
+                         f"{sorted(a.keys()) if isinstance(a, dict) else type(a).__name__})")
+            continue
+        shapes = {"xyz": (42, 3), "uv_vis": (42, 3), "K": (3, 3)}
+        bad = {k: np.asarray(a[k]).shape for k, want in shapes.items()
+               if np.asarray(a[k]).shape != want}
+        if bad:
+            report.error("rhd-anno-shape", f"{anno_path}[{idx}]",
+                         f"wrong shapes {bad}; expected {shapes} "
+                         "(42 rows = left hand 0-20 + right 21-41)")
+    if not os.path.isdir(color_dir):
+        report.error("rhd-no-color", color_dir,
+                     "color/ directory missing ({split}/color/%05d.png)")
+        return report
+    n_png = sum(1 for f in os.listdir(color_dir) if f.endswith(".png"))
+    if n_png == 0:
+        report.error("rhd-empty-color", color_dir, "no .png frames")
+        return report
+    missing_frames = [i for i in sorted(anno.keys())[:max_anno]
+                      if not os.path.exists(
+                          os.path.join(color_dir, f"{i:05d}.png"))]
+    if missing_frames:
+        report.error("rhd-frame-naming", color_dir,
+                     f"{len(missing_frames)} annotated indices have no "
+                     f"%05d.png frame (first: {missing_frames[0]:05d})")
+    # projection plausibility: uv_vis should agree with K @ xyz
+    idx0 = sorted(anno.keys())[0]
+    a = anno[idx0]
+    if isinstance(a, dict) and all(k in a for k in ("xyz", "uv_vis",
+                                                    "K")):
+        xyz = np.asarray(a["xyz"], np.float64)
+        K = np.asarray(a["K"], np.float64)
+        uv = np.asarray(a["uv_vis"], np.float64)[:, :2]
+        if xyz.shape == (42, 3) and K.shape == (3, 3):
+            proj = xyz @ K.T
+            proj = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-8)
+            err = float(np.median(np.linalg.norm(proj - uv, axis=1)))
+            if err > 5.0:
+                report.error("rhd-projection", f"{anno_path}[{idx0}]",
+                             f"median |K@xyz - uv_vis| = {err:.1f} px "
+                             "— intrinsics and annotations disagree")
+    return report
+
+
+# ---------------------------------------------------------------------
 # sample-pipeline mode (--n)
 # ---------------------------------------------------------------------
 
@@ -511,6 +685,12 @@ def run_sample_pipeline(dataset: str, data_dir: str, n: int,
         from scat_tpu.data.ho3d import get_loader_ho3d
         loader = get_loader_ho3d("training", max(1, n), opt,
                                  shuffle=False)
+    elif dataset == "mhp":
+        from scat_tpu.data.mhp import get_loader_MHP
+        loader = get_loader_MHP("training", max(1, n), opt)
+    elif dataset == "rhd":
+        from scat_tpu.data.rhd import get_loader_RHD
+        loader = get_loader_RHD("training", max(1, n), opt)
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
     batch = next(iter(loader))
@@ -553,18 +733,25 @@ def detect_dataset(data_dir: str) -> Optional[str]:
                 for s in os.listdir(d)
                 if os.path.isdir(os.path.join(d, s))):
             return "ho3d"
+    if os.path.isdir(os.path.join(data_dir, "annotated_frames")):
+        return "mhp"
+    if any(os.path.exists(os.path.join(data_dir, s, f"anno_{s}.pickle"))
+           for s in ("training", "evaluation")):
+        return "rhd"
     return None
 
 
 VALIDATORS = {"stb": validate_stb, "frei": validate_frei,
-              "ho3d": validate_ho3d}
+              "ho3d": validate_ho3d, "mhp": validate_mhp,
+              "rhd": validate_rhd}
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(
         prog="scat-validate-data", description=__doc__.split("\n")[0])
     p.add_argument("--dataset", default="auto",
-                   choices=["auto", "stb", "frei", "ho3d"])
+                   choices=["auto", "stb", "frei", "ho3d", "mhp",
+                            "rhd"])
     p.add_argument("--data_dir", required=True)
     p.add_argument("--split", default=None,
                    help="frei: training/evaluation; ho3d: train/"
@@ -590,8 +777,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         report = validate_stb(args.data_dir)
     elif dataset == "frei":
         report = validate_frei(args.data_dir, args.split or "training")
-    else:
+    elif dataset == "ho3d":
         report = validate_ho3d(args.data_dir, args.split or "train")
+    elif dataset == "mhp":
+        report = validate_mhp(args.data_dir)
+    else:
+        report = validate_rhd(args.data_dir, args.split or "training")
 
     print(report.summary())
     if args.n > 0:

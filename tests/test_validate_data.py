@@ -217,3 +217,129 @@ def test_cli_n_mode_stb(tmp_path):
          "--out", str(tmp_path / "dbg")])
     assert rc == 0
     assert len(os.listdir(tmp_path / "dbg")) == 2
+
+
+# ------------------------------------------------------------ MHP/RHD
+
+def _write_mhp_valid(root, n_frames=2, cam=1):
+    """MHP tree with 640x480 frames so the toolkit DEFAULT_K projects
+    inside the image (the loader's assumption for real captures)."""
+    from PIL import Image
+    rng = np.random.RandomState(3)
+    seq = "data_1"
+    frames = os.path.join(root, "annotated_frames", seq)
+    calib = os.path.join(root, "calibrations", seq, f"webcam_{cam}")
+    os.makedirs(frames)
+    os.makedirs(calib)
+    with open(os.path.join(calib, "rvec.pkl"), "wb") as f:
+        pickle.dump(np.zeros(3, np.float32), f)
+    with open(os.path.join(calib, "tvec.pkl"), "wb") as f:
+        pickle.dump(np.zeros(3, np.float32), f)
+    for i in range(n_frames):
+        img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+        from PIL import Image
+        Image.fromarray(img).save(
+            os.path.join(frames, f"{i}_webcam_{cam}.jpg"))
+        joints = rng.randn(21, 3).astype(np.float32) * 30.0
+        joints[:, 2] += 600.0
+        with open(os.path.join(frames, f"{i}_joints.txt"), "w") as f:
+            for j, (x, y, z) in enumerate(joints):
+                f.write(f"{j} {x} {y} {z}\n")
+    return seq
+
+
+def _write_rhd_valid(root, n=3):
+    """RHD tree whose uv_vis IS the K-projection of xyz (like the real
+    release), so the intrinsics-consistency check passes."""
+    from PIL import Image
+    rng = np.random.RandomState(4)
+    split = "training"
+    color = os.path.join(root, split, "color")
+    os.makedirs(color)
+    K = np.array([[283.0, 0, 160.0], [0, 283.0, 160.0], [0, 0, 1]])
+    anno = {}
+    for i in range(n):
+        Image.fromarray((rng.rand(320, 320, 3) * 255).astype(
+            np.uint8)).save(os.path.join(color, f"{i:05d}.png"))
+        xyz = rng.randn(42, 3) * 0.03 + np.array([0, 0, 0.6])
+        proj = xyz @ K.T
+        uv = proj[:, :2] / proj[:, 2:3]
+        anno[i] = {"xyz": xyz.astype(np.float32),
+                   "uv_vis": np.concatenate(
+                       [uv, np.ones((42, 1))], 1).astype(np.float32),
+                   "K": K.astype(np.float32)}
+    with open(os.path.join(root, split, f"anno_{split}.pickle"),
+              "wb") as f:
+        pickle.dump(anno, f)
+
+
+def test_mhp_valid_tree_green(tmp_path):
+    _write_mhp_valid(str(tmp_path))
+    report = validate_data.validate_mhp(str(tmp_path))
+    assert report.n_errors == 0
+    assert report.n_samples == 2
+    assert "mhp-default-K" in report.codes("info")
+
+
+def test_mhp_missing_extrinsics(tmp_path):
+    _write_mhp_valid(str(tmp_path))
+    os.remove(tmp_path / "calibrations" / "data_1" / "webcam_1"
+              / "rvec.pkl")
+    report = validate_data.validate_mhp(str(tmp_path))
+    assert "mhp-no-extrinsics" in report.codes("error")
+
+
+def test_mhp_bad_joints_txt(tmp_path):
+    _write_mhp_valid(str(tmp_path))
+    (tmp_path / "annotated_frames" / "data_1"
+     / "0_joints.txt").write_text("1 2 3\n4 5 6\n")
+    report = validate_data.validate_mhp(str(tmp_path))
+    assert "mhp-joints-shape" in report.codes("error")
+
+
+def test_rhd_valid_tree_green(tmp_path):
+    _write_rhd_valid(str(tmp_path))
+    report = validate_data.validate_rhd(str(tmp_path))
+    assert report.n_errors == 0
+    assert report.n_samples == 3
+
+
+def test_rhd_missing_anno(tmp_path):
+    report = validate_data.validate_rhd(str(tmp_path))
+    assert "rhd-no-anno" in report.codes("error")
+
+
+def test_rhd_bad_shapes_and_projection(tmp_path):
+    _write_rhd_valid(str(tmp_path))
+    p = tmp_path / "training" / "anno_training.pickle"
+    with open(p, "rb") as f:
+        anno = pickle.load(f)
+    anno[0]["xyz"] = anno[0]["xyz"][:21]          # wrong shape
+    anno[1]["K"] = anno[1]["K"] * 4.0             # breaks projection
+    with open(p, "wb") as f:
+        pickle.dump(anno, f)
+    report = validate_data.validate_rhd(str(tmp_path))
+    assert "rhd-anno-shape" in report.codes("error")
+
+
+def test_rhd_inconsistent_intrinsics(tmp_path):
+    _write_rhd_valid(str(tmp_path))
+    p = tmp_path / "training" / "anno_training.pickle"
+    with open(p, "rb") as f:
+        anno = pickle.load(f)
+    for i in anno:
+        anno[i]["K"][0, 0] *= 3.0   # focal lengths only: scaling the
+        anno[i]["K"][1, 1] *= 3.0   # whole K is projectively invariant
+    with open(p, "wb") as f:
+        pickle.dump(anno, f)
+    report = validate_data.validate_rhd(str(tmp_path))
+    assert "rhd-projection" in report.codes("error")
+
+
+def test_detect_mhp_rhd(tmp_path):
+    (tmp_path / "mhp").mkdir()
+    (tmp_path / "rhd").mkdir()
+    _write_mhp_valid(str(tmp_path / "mhp"))
+    _write_rhd_valid(str(tmp_path / "rhd"))
+    assert validate_data.detect_dataset(str(tmp_path / "mhp")) == "mhp"
+    assert validate_data.detect_dataset(str(tmp_path / "rhd")) == "rhd"
