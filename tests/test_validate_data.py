@@ -343,3 +343,22 @@ def test_detect_mhp_rhd(tmp_path):
     _write_rhd_valid(str(tmp_path / "rhd"))
     assert validate_data.detect_dataset(str(tmp_path / "mhp")) == "mhp"
     assert validate_data.detect_dataset(str(tmp_path / "rhd")) == "rhd"
+
+
+@pytest.mark.slow
+def test_sample_pipeline_ho3d_mhp_rhd(tmp_path):
+    """--n mode runs the real loader factories for every family."""
+    pytest.importorskip("matplotlib")
+    (tmp_path / "mhp").mkdir()
+    (tmp_path / "rhd").mkdir()
+    ho3d_root = _write_synthetic_ho3d(tmp_path, frames=3)[0]
+    _write_mhp_valid(str(tmp_path / "mhp"), n_frames=3)
+    _write_rhd_valid(str(tmp_path / "rhd"), n=4)
+    for name, root in (("ho3d", str(ho3d_root)),
+                       ("mhp", str(tmp_path / "mhp")),
+                       ("rhd", str(tmp_path / "rhd"))):
+        out = tmp_path / f"out_{name}"
+        paths = validate_data.run_sample_pipeline(
+            name, root, 2, str(out))
+        assert len(paths) == 2 and all(os.path.exists(p)
+                                       for p in paths), name
