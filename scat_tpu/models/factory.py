@@ -102,6 +102,14 @@ def build_model(opt: Options, image_size: int = 224,
                     dropout=opt.vit_dropout, iteration=opt.iteration,
                     dtype=_dtype(opt))
     elif opt.net == "ViP":
+        from scat_tpu.models.performer import favor_precisions
+        try:
+            favor_precisions(opt.favor_precision)
+        except KeyError:
+            raise ValueError(
+                f"--favor_precision {opt.favor_precision!r} is not one "
+                "of highest/high/default/mixed/mixed_high "
+                "(models/performer.py favor_precisions)") from None
         model = ViP(mean_params=mean_j, image_pix=image_size,
                     iteration=opt.iteration,
                     use_pallas=opt.use_pallas_favor,

@@ -161,6 +161,8 @@ class HRNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        assert self.stop_after in ("layer1", "stage2", "stage3",
+                                   "full"), self.stop_after
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)

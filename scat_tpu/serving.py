@@ -117,7 +117,10 @@ def run_bucketed(forward, params, batch_stats, x: np.ndarray, buckets,
             jax.block_until_ready(xb)          # upload complete
             t0 = time.perf_counter()
             out = forward(params, batch_stats, xb)
-            jax.block_until_ready(out)         # D2H complete
+            # fetch the outputs to the HOST inside the timed window:
+            # block_until_ready only waits for device compute, and the
+            # column's published definition is dispatch -> D2H complete
+            out = tuple(np.asarray(o) for o in out)
             chunk_device_times.append(time.perf_counter() - t0)
             inflight.append(out)
     while inflight:

@@ -352,6 +352,16 @@ def validate_frei(data_dir: str, split: str = "training") -> Report:
                      f"(first gap at index {gaps[0]}; e.g. have "
                      f"{sorted(files)[:3]}) — the loader indexes "
                      "frames positionally")
+    # image checks do not depend on the label files — keep them
+    # un-nested so a broken xyz doesn't hide frame problems
+    size = _image_size(os.path.join(
+        rgb_dir, sorted(files)[0]), report, "frei-bad-image")
+    if size is not None and size != (224, 224):
+        report.warn("frei-frame-size", rgb_dir,
+                    f"frames are {size[0]}x{size[1]} — loader "
+                    "falls back to PIL bilinear resize with 2D "
+                    "label rescale (native fast path needs "
+                    "224x224)")
     if xyz is not None:
         n_unique = xyz.shape[0]
         if n_images % n_unique != 0:
@@ -369,21 +379,12 @@ def validate_frei(data_dir: str, split: str = "training") -> Report:
                         "(load_test_dataset.py:55-62); fine for the "
                         "loader (it counts files), but eval counts "
                         "will differ from the reference's")
-        size = _image_size(os.path.join(
-            rgb_dir, sorted(files)[0]), report, "frei-bad-image")
-        if size is not None:
-            if size != (224, 224):
-                report.warn("frei-frame-size", rgb_dir,
-                            f"frames are {size[0]}x{size[1]} — loader "
-                            "falls back to PIL bilinear resize with 2D "
-                            "label rescale (native fast path needs "
-                            "224x224)")
-            if K is not None:
-                from scat_tpu.data.freihand import project_3D_points
-                j2d = project_3D_points(K[0], xyz[0],
-                                        is_OpenGL_coords=False)
-                _check_projection(j2d, size, report, "frei-projection",
-                                  k_path, "sample 0 via K[0]")
+        if size is not None and K is not None:
+            from scat_tpu.data.freihand import project_3D_points
+            j2d = project_3D_points(K[0], xyz[0],
+                                    is_OpenGL_coords=False)
+            _check_projection(j2d, size, report, "frei-projection",
+                              k_path, "sample 0 via K[0]")
     return report
 
 
@@ -520,6 +521,12 @@ def validate_mhp(data_dir: str, max_frames: int = 20) -> Report:
                      "no data_N sequence directories")
         return report
     import re as _re
+    # mirror MHPDataset's semantics exactly: it pairs only
+    # cameras (1,2,3,4), SILENTLY SKIPS a camera whose calibration
+    # directory is absent, and crashes only when the directory exists
+    # but rvec/tvec pickles are missing (scat_tpu/data/mhp.py
+    # MHPDataset.__init__ / MHPSequence.__init__)
+    LOADER_CAMS = (1, 2, 3, 4)
     for seq in seqs:
         sdir = os.path.join(frames_root, seq)
         files = os.listdir(sdir)
@@ -531,12 +538,17 @@ def validate_mhp(data_dir: str, max_frames: int = 20) -> Report:
                         "no {frame}_webcam_{M}.jpg files — sequence "
                         "contributes nothing")
             continue
+        extra = [c for c in cams if c not in LOADER_CAMS]
+        if extra:
+            report.info("mhp-extra-cams", sdir,
+                        f"webcams {extra} have frames but the loader "
+                        "pairs cameras (1,2,3,4) only — ignored")
+        cams = [c for c in cams if c in LOADER_CAMS]
         n_txt = sum(1 for f in files if f.endswith("_joints.txt"))
         if n_txt == 0:
             report.error("mhp-no-joints", sdir,
                          "no {frame}_joints.txt annotations")
             continue
-        report.n_samples += n_txt * len(cams)
         # joints.txt format on a few files
         checked = 0
         for f in sorted(files):
@@ -548,24 +560,35 @@ def validate_mhp(data_dir: str, max_frames: int = 20) -> Report:
                 report.error("mhp-joints-shape", os.path.join(sdir, f),
                              str(e))
             checked += 1
-        # calibration per camera
+        # calibration per loader-visible camera
+        usable_cams = []
         for cam in cams:
             calib = os.path.join(calib_root, seq, f"webcam_{cam}")
+            if not os.path.isdir(calib):
+                report.warn("mhp-cam-skipped", calib,
+                            "no calibration directory — the loader "
+                            "SILENTLY skips this camera's frames")
+                continue
             missing = [n for n in ("rvec.pkl", "tvec.pkl")
                        if not os.path.exists(os.path.join(calib, n))]
             if missing:
                 report.error("mhp-no-extrinsics", calib,
-                             f"missing {missing} — loader needs "
-                             "world->camera extrinsics")
+                             f"missing {missing} — the loader CRASHES "
+                             "on this camera (calibration dir exists "
+                             "but extrinsics are unreadable)")
                 continue
+            usable_cams.append(cam)
             if not os.path.exists(os.path.join(calib,
                                                "intrinsics.pkl")):
                 report.info("mhp-default-K", calib,
                             "no intrinsics.pkl: toolkit default "
                             "Logitech C270 K used (mhp.DEFAULT_K)")
-        # projection plausibility on the first paired frame of cam 1
+        report.n_samples += n_txt * len(usable_cams)
+        if not usable_cams:
+            continue
+        # projection plausibility on the first paired frame
         try:
-            s = mhp.MHPSequence(data_dir, seq, cams[0])
+            s = mhp.MHPSequence(data_dir, seq, usable_cams[0])
             if s.seq_len():
                 img_path, jt = s.frames[0]
                 size = _image_size(img_path, report, "mhp-bad-image")
@@ -575,7 +598,7 @@ def validate_mhp(data_dir: str, max_frames: int = 20) -> Report:
                     j2d = mhp.project_points(s.K, cam_xyz)
                     _check_projection(j2d, size, report,
                                       "mhp-projection", jt,
-                                      f"{seq}/webcam_{cams[0]}")
+                                      f"{seq}/webcam_{usable_cams[0]}")
         except (ValueError, OSError, pickle.UnpicklingError, EOFError,
                 KeyError) as e:
             report.error("mhp-sequence-load", os.path.join(
@@ -641,22 +664,27 @@ def validate_rhd(data_dir: str, split: str = "training",
         report.error("rhd-frame-naming", color_dir,
                      f"{len(missing_frames)} annotated indices have no "
                      f"%05d.png frame (first: {missing_frames[0]:05d})")
-    # projection plausibility: uv_vis should agree with K @ xyz
-    idx0 = sorted(anno.keys())[0]
-    a = anno[idx0]
-    if isinstance(a, dict) and all(k in a for k in ("xyz", "uv_vis",
-                                                    "K")):
+    # projection plausibility on the first SCHEMA-VALID sample (a
+    # corrupt idx0 must not silently disable the check): uv_vis should
+    # agree with K @ xyz
+    for idx in sorted(anno.keys())[:max_anno]:
+        a = anno[idx]
+        if not (isinstance(a, dict)
+                and all(k in a for k in ("xyz", "uv_vis", "K"))):
+            continue
         xyz = np.asarray(a["xyz"], np.float64)
         K = np.asarray(a["K"], np.float64)
         uv = np.asarray(a["uv_vis"], np.float64)[:, :2]
-        if xyz.shape == (42, 3) and K.shape == (3, 3):
-            proj = xyz @ K.T
-            proj = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-8)
-            err = float(np.median(np.linalg.norm(proj - uv, axis=1)))
-            if err > 5.0:
-                report.error("rhd-projection", f"{anno_path}[{idx0}]",
-                             f"median |K@xyz - uv_vis| = {err:.1f} px "
-                             "— intrinsics and annotations disagree")
+        if xyz.shape != (42, 3) or K.shape != (3, 3):
+            continue
+        from scat_tpu.data.freihand import project_3D_points
+        proj = project_3D_points(K, xyz, is_OpenGL_coords=False)
+        err = float(np.median(np.linalg.norm(proj - uv, axis=1)))
+        if err > 5.0:
+            report.error("rhd-projection", f"{anno_path}[{idx}]",
+                         f"median |K@xyz - uv_vis| = {err:.1f} px "
+                         "— intrinsics and annotations disagree")
+        break
     return report
 
 
@@ -666,31 +694,45 @@ def validate_rhd(data_dir: str, split: str = "training",
 
 def run_sample_pipeline(dataset: str, data_dir: str, n: int,
                         out_dir: str) -> List[str]:
-    """Run the REAL loader factories end-to-end on ``n`` samples and
+    """Run the REAL dataset classes end-to-end on ``n`` samples and
     dump three-panel debug crops (image / image+2D / 3D) — proves the
     actual training input path executes on this tree."""
-    from scat_tpu.config import Options
-
     os.makedirs(out_dir, exist_ok=True)
-    opt = Options(data_dir=data_dir, batch_size=max(1, n))
+    bs = max(1, n)
+    # construct the datasets DIRECTLY on the validated data_dir: the
+    # get_loader_* factories resolve sibling directories by convention
+    # (dirname(data_dir)/FreiHAND, /HO3D, /MHP, /RHD...), which could
+    # silently sample a DIFFERENT tree than the one the schema walk
+    # just validated — the whole point here is first contact with THIS
+    # tree
     if dataset == "stb":
-        from scat_tpu.data.stb import get_loader_STB_eval
-        loader = get_loader_STB_eval(opt)
-        loader.batch_size = max(1, n)
+        from scat_tpu.data.stb import STBDataset
+        name = ("STB_eval" if any(os.path.isdir(
+            os.path.join(data_dir, s)) for s in STB_EVAL_SEQS)
+            else "STB_train")
+        loader = STBDataset(name, data_dir=data_dir, batch_size=bs,
+                            shuffle=False)
     elif dataset == "frei":
-        from scat_tpu.data.freihand import get_loader_frei
-        loader = get_loader_frei("training", max(1, n), opt,
-                                 shuffle=False, color_jitter=False)
+        from scat_tpu.data.freihand import FreiHANDDataset
+        split = ("training" if os.path.exists(
+            os.path.join(data_dir, "training_K.json"))
+            else "evaluation")
+        loader = FreiHANDDataset(data_dir, split, bs, shuffle=False,
+                                 color_jitter=False)
     elif dataset == "ho3d":
-        from scat_tpu.data.ho3d import get_loader_ho3d
-        loader = get_loader_ho3d("training", max(1, n), opt,
-                                 shuffle=False)
+        from scat_tpu.data.ho3d import HO3DDataset
+        split = ("train" if os.path.isdir(
+            os.path.join(data_dir, "train")) else "evaluation")
+        loader = HO3DDataset(data_dir, split, bs, shuffle=False)
     elif dataset == "mhp":
-        from scat_tpu.data.mhp import get_loader_MHP
-        loader = get_loader_MHP("training", max(1, n), opt)
+        from scat_tpu.data.mhp import MHPDataset
+        loader = MHPDataset(data_dir, bs, shuffle=False)
     elif dataset == "rhd":
-        from scat_tpu.data.rhd import get_loader_RHD
-        loader = get_loader_RHD("training", max(1, n), opt)
+        from scat_tpu.data.rhd import RHDDataset
+        split = ("training" if os.path.exists(os.path.join(
+            data_dir, "training", "anno_training.pickle"))
+            else "evaluation")
+        loader = RHDDataset(data_dir, split, bs, shuffle=False)
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
     batch = next(iter(loader))
@@ -768,8 +810,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         dataset = detect_dataset(args.data_dir)
         if dataset is None:
             print(f"[ERROR] unrecognized tree at {args.data_dir}: "
-                  "found neither STB sequences+labels/, FreiHAND "
-                  "*_K.json, nor HO-3D {split}/{seq}/rgb layouts")
+                  "found none of the STB sequences+labels/, FreiHAND "
+                  "*_K.json, HO-3D {split}/{seq}/rgb, MHP "
+                  "annotated_frames/, or RHD anno_{split}.pickle "
+                  "layouts")
             return 2
         print(f"[validate] detected dataset: {dataset}")
 

@@ -309,13 +309,12 @@ def test_rhd_missing_anno(tmp_path):
     assert "rhd-no-anno" in report.codes("error")
 
 
-def test_rhd_bad_shapes_and_projection(tmp_path):
+def test_rhd_bad_shapes(tmp_path):
     _write_rhd_valid(str(tmp_path))
     p = tmp_path / "training" / "anno_training.pickle"
     with open(p, "rb") as f:
         anno = pickle.load(f)
     anno[0]["xyz"] = anno[0]["xyz"][:21]          # wrong shape
-    anno[1]["K"] = anno[1]["K"] * 4.0             # breaks projection
     with open(p, "wb") as f:
         pickle.dump(anno, f)
     report = validate_data.validate_rhd(str(tmp_path))
@@ -362,3 +361,63 @@ def test_sample_pipeline_ho3d_mhp_rhd(tmp_path):
             name, root, 2, str(out))
         assert len(paths) == 2 and all(os.path.exists(p)
                                        for p in paths), name
+
+
+def test_mhp_missing_calib_dir_is_warn_not_error(tmp_path):
+    """A camera whose whole calibration dir is absent is SKIPPED by the
+    loader (MHPDataset.__init__), so the validator warns; only an
+    existing dir with missing pickles (a loader crash) is an error."""
+    import shutil
+    _write_mhp_valid(str(tmp_path))
+    shutil.rmtree(tmp_path / "calibrations" / "data_1" / "webcam_1")
+    report = validate_data.validate_mhp(str(tmp_path))
+    assert "mhp-cam-skipped" in report.codes("warn")
+    assert report.n_errors == 0
+    assert report.n_samples == 0  # no usable camera remains
+
+
+def test_frei_frame_checks_survive_broken_xyz(tmp_path):
+    """Frame-size/readability diagnostics must not be hidden by a
+    broken label file."""
+    root = _write_synthetic_frei(tmp_path, n=2, img_size=128)[0]
+    with open(root / "training_xyz.json", "w") as f:
+        json.dump(np.zeros((2, 5, 3)).tolist(), f)  # wrong shape
+    report = validate_data.validate_frei(str(root))
+    assert "frei-xyz-shape" in report.codes("error")
+    assert "frei-frame-size" in report.codes("warn")
+
+
+def test_rhd_projection_check_skips_corrupt_first_sample(tmp_path):
+    """A corrupt idx0 must not disable the intrinsics-consistency
+    check — it runs on the first schema-valid sample."""
+    _write_rhd_valid(str(tmp_path))
+    p = tmp_path / "training" / "anno_training.pickle"
+    with open(p, "rb") as f:
+        anno = pickle.load(f)
+    anno[0]["xyz"] = anno[0]["xyz"][:21]   # corrupt idx0
+    for i in list(anno)[1:]:               # break intrinsics elsewhere
+        anno[i]["K"][0, 0] *= 3.0
+        anno[i]["K"][1, 1] *= 3.0
+    with open(p, "wb") as f:
+        pickle.dump(anno, f)
+    report = validate_data.validate_rhd(str(tmp_path))
+    assert "rhd-anno-shape" in report.codes("error")
+    assert "rhd-projection" in report.codes("error")
+
+
+def test_vip_bad_favor_precision_fails_at_build():
+    from scat_tpu.config import Options
+    from scat_tpu.models import build_model
+    with pytest.raises(ValueError, match="favor_precision"):
+        build_model(Options(net="ViP", favor_precision="mixed-high"),
+                    32)
+
+
+def test_hrnet_bad_stop_after_asserts():
+    import jax
+    import jax.numpy as jnp
+    from scat_tpu.models.hrnet import HRNet
+    m = HRNet(c=16, nof_joints=32, stop_after="stage4")
+    with pytest.raises(AssertionError):
+        m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+               train=False)
