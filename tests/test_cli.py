@@ -95,3 +95,27 @@ def test_test_cli_runs_on_rgb_folder(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     dumps = list(out.glob("*_params.txt"))
     assert len(dumps) == 2, list(out.iterdir())
+
+
+@pytest.mark.slow
+def test_validate_then_train_from_disk_contract(tmp_path):
+    """The validator's literal contract (README "Real datasets"):
+    scat-validate-data exit 0 on a tree => training runs from THAT
+    tree.  Validate a synthetic STB tree through the CLI, then run a
+    real 1-epoch stage-3 train with --data_dir pointing at it."""
+    from tests.test_stb import _write_synthetic_stb
+    data_dir = str(_write_synthetic_stb(tmp_path, n=8))
+    r = _run("scat_tpu.validate_data",
+             ["--data_dir", data_dir, "--dataset", "stb"])
+    assert r.returncode == 0, r.stdout[-2000:]
+    ckpt = tmp_path / "ckpt"
+    r2 = _run("scat_tpu.train", [
+        "--net", "reg_transformer", "--batch_size", "4", "--epoch", "1",
+        "--lr", "1e-3", "--l_weight_3d", "1000", "--l_weight_2d", "1",
+        "--vit_heads", "2", "--iteration", "1", "--mask_rate", "0.0",
+        "--stage", "3", "--data_dir", data_dir,
+        "--compute_dtype", "float32", "--use_pallas_attention", "False",
+        "--checkpoint_folder", str(ckpt), "--log_every", "1"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Finished Training" in r2.stdout
+    assert (ckpt / "hand_net_final").exists()
