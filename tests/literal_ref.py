@@ -1,0 +1,129 @@
+"""Import /root/reference's LITERAL source as a test oracle.
+
+The reference's model files run on this machine's CPU torch once two
+environmental hardcodes are shimmed (neither changes any math):
+
+  * ``.cuda()`` — called in module scope (models/mano.py:225-234) and in
+    every head ctor (models/hand_net.py:32,90,153,222,321); on a CPU-only
+    host it raises.  Shimmed to identity on Tensor/Module.
+  * ``model_zoo.load_url`` — ``get_model`` builds the backbone with
+    ``pretrained=True`` (models/hand_net.py:21-26) which downloads
+    ImageNet weights; this host has zero egress.  Shimmed to return an
+    empty state_dict (the reference itself loads it ``strict=False``,
+    so an empty dict is a clean no-op: random init, same as our tests
+    use everywhere).
+
+Everything else is the reference's own code, byte for byte, imported
+from /root/reference.  Tests built on this module are therefore
+differential tests against the literal upstream source — not against a
+re-implementation (tests/torch_oracles.py), closing the circularity the
+round-4 review identified.
+"""
+
+import importlib
+import os
+import pickle
+import sys
+
+import numpy as np
+import torch
+
+REF_ROOT = "/root/reference"
+
+_shimmed = False
+
+
+def _tensor_cuda_noop(self, *args, **kwargs):
+    return self
+
+
+def _module_cuda_noop(self, *args, **kwargs):
+    return self
+
+
+def install_shims():
+    """Make the reference's CUDA/download hardcodes inert on this host."""
+    global _shimmed
+    if _shimmed:
+        return
+    torch.Tensor.cuda = _tensor_cuda_noop
+    torch.nn.Module.cuda = _module_cuda_noop
+    model_zoo = importlib.import_module("torch.utils.model_zoo")
+    model_zoo.load_url = lambda *a, **k: {}
+    try:
+        hub = importlib.import_module("torch.hub")
+        hub.load_state_dict_from_url = lambda *a, **k: {}
+    except ImportError:
+        pass
+    _shimmed = True
+
+
+def load(module: str):
+    """Import a module from the literal reference tree (e.g.
+    'models.hand_net').  Idempotent; returns the cached module."""
+    install_shims()
+    if REF_ROOT not in sys.path:
+        # append, not insert: never shadow repo/test modules
+        sys.path.append(REF_ROOT)
+    return importlib.import_module(module)
+
+
+def make_opt(**overrides):
+    """The slice of the reference's BaseOptions namespace the model
+    ctors consume (reference config.py; hand_net.py reads vit_heads,
+    vit_depth, pl_reg, iteration, pos_embed, mask_rate)."""
+    import types
+    opt = types.SimpleNamespace(
+        vit_heads=8, vit_depth=3, pl_reg=False, iteration=3,
+        pos_embed=True, mask_rate=0.0, feature="coarse")
+    for k, v in overrides.items():
+        setattr(opt, k, v)
+    return opt
+
+
+def write_mano_pkl(path: str, data) -> None:
+    """Write a MANO_RIGHT.pkl with the exact schema the literal
+    models/mano.py:220-232 module-level loader consumes:
+    J_regressor MUST be scipy-sparse (the reference calls .todense()),
+    kintree_table is the [2,16] id table it re-derives parents from."""
+    import scipy.sparse
+
+    parents = np.asarray(data.kintree_parents, dtype=np.int64)
+    kintree = np.zeros((2, parents.shape[0]), dtype=np.int64)
+    kintree[1] = np.arange(parents.shape[0])
+    kintree[0] = parents
+    # the real pickle marks the root's parent with a sentinel; the
+    # loaders never look kintree[0, 0] up (parents start at i=1)
+    kintree[0, 0] = 2 ** 32 - 1
+    dd = {
+        "v_template": np.asarray(data.v_template, dtype=np.float64),
+        "shapedirs": np.asarray(data.shapedirs, dtype=np.float64),
+        "posedirs": np.asarray(data.posedirs, dtype=np.float64),
+        "J_regressor": scipy.sparse.csc_matrix(
+            np.asarray(data.J_regressor, dtype=np.float64)),
+        "weights": np.asarray(data.weights, dtype=np.float64),
+        "kintree_table": kintree,
+        "hands_components": np.asarray(data.hands_components,
+                                       dtype=np.float64),
+        "hands_mean": np.asarray(data.hands_mean, dtype=np.float64),
+    }
+    if data.faces is not None:
+        dd["f"] = np.asarray(data.faces, dtype=np.uint32)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(dd, f, protocol=2)
+
+
+def load_mano_literal(tree_root: str):
+    """Import the literal models.mano, which pickle-loads
+    'extra_data/MANO_RIGHT.pkl' relative to the CWD at import time
+    (models/mano.py:220).  tree_root must contain extra_data/."""
+    install_shims()
+    if "models.mano" in sys.modules:
+        return sys.modules["models.mano"]
+    old = os.getcwd()
+    os.chdir(tree_root)
+    try:
+        return load("models.mano")
+    finally:
+        os.chdir(old)
