@@ -613,6 +613,73 @@ def export_torch_inception_encoder(
     return e.out
 
 
+def import_torch_motion_discriminator(
+        state_dict: Mapping[str, Any], params: Dict,
+        num_layers: int = 2) -> int:
+    """Merge a reference MotionDiscriminator state_dict
+    (motion_discriminator.py:83-139: cuDNN-layout stacked ``nn.GRU`` +
+    fc [+ attention MLP]) into our flax tree (lax.scan GRUCell stack).
+
+    torch GRU packs gates [r|z|n] along dim 0 of weight_ih/weight_hh and
+    keeps TWO bias vectors; flax GRUCell keeps per-gate Dense kernels
+    and a single input-side bias for r/z (plus hn's hidden-side bias),
+    so b_ih and b_hh fold:  ir.b = b_ih_r + b_hh_r (same for z),
+    in.b = b_ih_n, hn.b = b_hh_n — exact, since r/z apply
+    sigmoid(Wx + b_ih + Uh + b_hh) and n keeps the two biases on
+    opposite sides of the reset gate."""
+    merged = 0
+    for layer in range(num_layers):
+        cell = params.get(f"GRUCell_{layer}")
+        if cell is None:
+            continue
+        w_ih = _np(state_dict[f"gru.weight_ih_l{layer}"])
+        w_hh = _np(state_dict[f"gru.weight_hh_l{layer}"])
+        b_ih = _np(state_dict[f"gru.bias_ih_l{layer}"])
+        b_hh = _np(state_dict[f"gru.bias_hh_l{layer}"])
+        h = w_hh.shape[1]
+        for i, gate in enumerate(("r", "z", "n")):
+            sl = slice(i * h, (i + 1) * h)
+            iname = {"r": "ir", "z": "iz", "n": "in"}[gate]
+            hname = {"r": "hr", "z": "hz", "n": "hn"}[gate]
+            cell[iname]["kernel"] = w_ih[sl].T.astype(
+                np.asarray(cell[iname]["kernel"]).dtype)
+            cell[hname]["kernel"] = w_hh[sl].T.astype(
+                np.asarray(cell[hname]["kernel"]).dtype)
+            if gate == "n":
+                cell[iname]["bias"] = b_ih[sl].astype(np.float32)
+                cell[hname]["bias"] = b_hh[sl].astype(np.float32)
+            else:
+                cell[iname]["bias"] = (b_ih[sl] + b_hh[sl]).astype(
+                    np.float32)
+            merged += 2
+    if "fc.weight" in state_dict and "fc" in params:
+        params["fc"]["kernel"] = _np(state_dict["fc.weight"]).T.astype(
+            np.float32)
+        params["fc"]["bias"] = _np(state_dict["fc.bias"]).astype(
+            np.float32)
+        merged += 2
+    # attention pooling MLP (motion_discriminator.py:28-57): reference
+    # nests Linear layers inside attention.attention at even indices
+    # (odd ones are activations/dropout)
+    attn = params.get("attention")
+    if attn is not None:
+        lin_keys = sorted(
+            {int(k.split(".")[2]) for k in state_dict
+             if k.startswith("attention.attention.")
+             and k.endswith(".weight")})
+        for j, idx in enumerate(lin_keys):
+            name = ("attn_out" if idx == lin_keys[-1] else f"attn_{j}")
+            if name in attn:
+                attn[name]["kernel"] = _np(
+                    state_dict[f"attention.attention.{idx}.weight"]
+                ).T.astype(np.float32)
+                attn[name]["bias"] = _np(
+                    state_dict[f"attention.attention.{idx}.bias"]
+                ).astype(np.float32)
+                merged += 2
+    return merged
+
+
 def load_torch_checkpoint(path: str) -> Mapping[str, Any]:
     """Load a .pth state dict on CPU (torch is CPU-only in this image)."""
     import torch

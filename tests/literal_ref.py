@@ -55,6 +55,14 @@ def install_shims():
         hub.load_state_dict_from_url = lambda *a, **k: {}
     except ImportError:
         pass
+    # numpy removed the np.float/np.int aliases (1.24); the literal
+    # models/mano.py ctor uses them (mano.py:99-133).  Pure compat —
+    # they were always plain builtins.
+    for name, alias in (("float", float), ("int", int)):
+        try:
+            getattr(np, name)
+        except AttributeError:
+            setattr(np, name, alias)
     _shimmed = True
 
 

@@ -380,3 +380,139 @@ def test_literal_flagship_to_flax_composed(ref, rng):
         np.asarray(fv).transpose(0, 3, 1, 2), tfv.numpy(), atol=ATOL)
     np.testing.assert_allclose(np.asarray(pred), tpred.numpy(),
                                atol=ATOL)
+
+
+@pytest.mark.parametrize("pool", ["concat", "attention", "last"])
+def test_literal_motion_discriminator(ref, pool):
+    """motion_discriminator.py:83-139 vs our lax.scan GRU stack, weights
+    ported from the literal cuDNN-layout state_dict
+    (import_torch_motion_discriminator): all three pooling modes."""
+    import jax
+    import jax.numpy as jnp
+    import flax
+    from scat_tpu.models.discriminator import (
+        MotionDiscriminator as FlaxMD)
+    from scat_tpu.utils.torch_import import (
+        import_torch_motion_discriminator)
+
+    torch.manual_seed(13)
+    kw = dict(rnn_size=16, input_size=48, num_layers=2, output_size=2,
+              feature_pool=pool, attention_size=16, attention_layers=2,
+              attention_dropout=0.0)
+    lm = ref["motion_disc"].MotionDiscriminator(**kw)
+    lm.eval()
+    fm = FlaxMD(**kw)
+    x = np.random.RandomState(1).randn(3, 7, 48).astype(np.float32)
+    variables = fm.init(jax.random.key(0), jnp.asarray(x))
+    params = flax.core.unfreeze(variables["params"])
+    merged = import_torch_motion_discriminator(lm.state_dict(), params,
+                                               num_layers=2)
+    # per layer: 3 gates x (i-kernel + h-kernel) = 6; plus fc
+    # kernel+bias; attention pool adds 2 Linear layers x (kernel+bias)
+    assert merged == 2 * 6 + 2 + (4 if pool == "attention" else 0)
+    with torch.no_grad():
+        to = lm(torch.from_numpy(x))
+    fo = fm.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(fo), to.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_literal_vibe_loss(ref, masked):
+    """loss.py:65-225 (VIBELoss.forward) end to end: literal loss with
+    the literal MotionDiscriminator vs our vibe_generator_loss /
+    vibe_discriminator_loss with the PORTED flax discriminator — total,
+    per-term dict, and the discriminator-side loss all agree.  The
+    literal boolean row-indexing (loss.py:149-152) must equal our
+    static-shape weighted means, including under a mixed mask."""
+    import jax
+    import jax.numpy as jnp
+    import flax
+    from scat_tpu.models.discriminator import (
+        MotionDiscriminator as FlaxMD)
+    from scat_tpu.models.vibe_loss import (
+        VIBELossConfig, vibe_generator_loss, vibe_discriminator_loss,
+        encoder_disc_l2_loss)
+    from scat_tpu.utils.torch_import import (
+        import_torch_motion_discriminator)
+
+    B, T, n_ief = 2, 4, 2
+    r = np.random.RandomState(2)
+    gen_outputs = [
+        {"theta": torch.from_numpy(
+            r.randn(B, T, 61).astype(np.float32)),
+         "kp_2d": torch.from_numpy(
+             r.randn(B, T, 21, 2).astype(np.float32)),
+         "kp_3d": torch.from_numpy(
+             r.randn(B, T, 21, 3).astype(np.float32))}
+        for _ in range(n_ief)]
+    if masked:
+        w = np.array([[1, 0, 1, 1], [0, 1, 1, 0]], np.float32)
+    else:
+        w = np.ones((B, T), np.float32)
+    data_3d = {
+        "kp_2d": torch.from_numpy(r.randn(B, T, 21, 2).astype(
+            np.float32)),
+        "kp_3d": torch.from_numpy(r.randn(B, T, 21, 3).astype(
+            np.float32)),
+        "theta": torch.from_numpy(r.randn(B, T, 61).astype(np.float32)),
+        "w_3d": torch.from_numpy(w),
+        "w_smpl": torch.from_numpy(w),
+    }
+    mosh = {"theta": torch.from_numpy(r.randn(B, T, 61).astype(
+        np.float32))}
+
+    torch.manual_seed(14)
+    disc_kw = dict(rnn_size=16, input_size=48, num_layers=2,
+                   output_size=2, feature_pool="concat")
+    ldisc = ref["motion_disc"].MotionDiscriminator(**disc_kw)
+    ldisc.eval()
+    lloss = ref["loss"].VIBELoss(device="cpu")
+    with torch.no_grad():
+        lgen, ldisc_loss, ldict = lloss(
+            gen_outputs, None, data_3d, data_motion_mosh=mosh,
+            motion_discriminator=ldisc)
+
+    # ported flax discriminator produces our disc values
+    fdisc = FlaxMD(**disc_kw)
+    seq0 = jnp.asarray(gen_outputs[0]["theta"].numpy()[:, :, 3:51])
+    variables = fdisc.init(jax.random.key(0), seq0)
+    params = flax.core.unfreeze(variables["params"])
+    import_torch_motion_discriminator(ldisc.state_dict(), params,
+                                      num_layers=2)
+    disc = lambda s: fdisc.apply({"params": params}, s)  # noqa: E731
+
+    pred_motion = jnp.concatenate(
+        [jnp.asarray(o["theta"].numpy()) for o in gen_outputs], axis=0)
+    fake_value = disc(pred_motion[:, :, 3:51])
+    preds = gen_outputs[-1]
+    cfg = VIBELossConfig()
+    total, terms = vibe_generator_loss(
+        cfg,
+        jnp.asarray(preds["theta"].numpy()),
+        jnp.asarray(preds["kp_2d"].numpy()),
+        jnp.asarray(preds["kp_3d"].numpy()),
+        jnp.asarray(data_3d["kp_2d"].numpy()),
+        jnp.asarray(data_3d["kp_3d"].numpy()),
+        jnp.asarray(data_3d["theta"].numpy()),
+        w_3d=jnp.asarray(w), w_smpl=jnp.asarray(w),
+        disc_fake_value=fake_value)
+    np.testing.assert_allclose(float(total), float(lgen), rtol=1e-5)
+    for ours, theirs in [("loss_kp_2d", "loss_kp_2d"),
+                         ("loss_kp_3d", "loss_kp_3d"),
+                         ("loss_pose", "loss_pose"),
+                         ("loss_shape", "loss_shape")]:
+        np.testing.assert_allclose(
+            float(terms[ours]), float(ldict[theirs]), rtol=1e-5,
+            err_msg=ours)
+    np.testing.assert_allclose(
+        float(terms["e_m_disc_loss"]),
+        float(lgen) - float(sum(ldict.values())), rtol=1e-4)
+
+    # discriminator-side LSGAN total (loss.py:200-216)
+    real_value = disc(jnp.asarray(mosh["theta"].numpy())[:, :, 3:51])
+    fake_det = disc(pred_motion[:, :, 3:51])
+    _, _, d_total = vibe_discriminator_loss(cfg, real_value, fake_det)
+    np.testing.assert_allclose(float(d_total), float(ldisc_loss),
+                               rtol=1e-5)
+    # sanity: our encoder term really came from the ported disc
+    assert float(encoder_disc_l2_loss(fake_value)) > 0
