@@ -352,6 +352,20 @@ def maybe_motion_blur(images: jax.Array, rng: np.random.RandomState
                 for i in range(11))
     hblur = sum(w[:, i, None, None, None] * pad_h[:, :, i:i + wd]
                 for i in range(11))
+    # The reference kernels place the 1-D box at column/row
+    # int((ks-1)/2) of a ks x ks kernel while cv2.filter2D anchors at
+    # ks//2 (load_STB.py:162-169): for EVEN ks the correlation also
+    # samples the PERPENDICULAR axis at offset -1, translating the
+    # image one pixel (right for the vertical kernel, down for the
+    # horizontal one).  Verified against the literal motion_blur in
+    # tests/test_literal_data_utils.py.
+    even = jnp.asarray((ksize[slots] % 2 == 0)[:, None, None, None])
+    vshift = jnp.pad(vblur, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                     mode="reflect")[:, :, :wd]
+    hshift = jnp.pad(hblur, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                     mode="reflect")[:, :h]
+    vblur = jnp.where(even, vshift, vblur)
+    hblur = jnp.where(even, hshift, hblur)
     blurred = jnp.where(jnp.asarray(axis[slots] == 0)[:, None, None,
                                                       None],
                         vblur, hblur)

@@ -8,19 +8,28 @@ import jax.numpy as jnp
 from scat_tpu.data.stb import maybe_motion_blur
 
 
+def _take_reflect(img, offset, axis):
+    n = img.shape[axis]
+    idx = np.arange(n) + offset
+    idx = np.where(idx < 0, -idx, idx)                # reflect-101 low
+    idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)  # high
+    return np.take(img, idx, axis=axis)
+
+
 def _ref_blur(img, ksize, axis):
-    """Reference motion_blur re-executed in numpy for one sample:
-    centered length-k box kernel, cv2.filter2D anchor k//2 and default
-    BORDER_REFLECT_101 borders (load_STB.py:154-187)."""
+    """Reference motion_blur re-executed in numpy for one sample: a
+    length-k box at column/row int((k-1)/2) of a k x k kernel,
+    cv2.filter2D anchor k//2 and default BORDER_REFLECT_101 borders
+    (load_STB.py:154-187).  For EVEN k the box row offset
+    int((k-1)/2) - k//2 = -1 also translates the image one pixel along
+    the PERPENDICULAR axis — pinned against the literal reference in
+    test_literal_data_utils.py."""
     a = ksize // 2
     out = np.zeros_like(img, np.float64)
-    n = img.shape[axis]
     for j in range(ksize):
-        off = j - a
-        idx = np.arange(n) + off
-        idx = np.where(idx < 0, -idx, idx)            # reflect-101 low
-        idx = np.where(idx > n - 1, 2 * (n - 1) - idx, idx)  # high
-        out += np.take(img, idx, axis=axis) / ksize
+        out += _take_reflect(img, j - a, axis) / ksize
+    if ksize % 2 == 0:
+        out = _take_reflect(out, -1, 1 - axis)
     return out
 
 
