@@ -38,8 +38,12 @@ def main():
                              variables.get("batch_stats", {}))
 
     rng = np.random.RandomState(0)
+    infer_rate = current_infer_rate()
     results = {}
-    for n in (1, 8, 32, 64):
+    buckets = tuple(
+        int(b) for b in os.environ.get(
+            "SCAT_SERVING_BUCKETS", "1,8,32,64,128,256").split(","))
+    for n in buckets:
         # warm the bucket
         pred.predict(rng.randint(0, 255, (n, 224, 224, 3), np.uint8))
         lats, dev = [], []
@@ -72,11 +76,34 @@ def main():
               f"device p50 {r['device_p50_ms']:6.2f} ms  "
               f"p99 {r['device_p99_ms']:6.2f} ms  "
               f"{r['crops_per_sec']:8.1f} crops/s")
-        # the co-located estimate the prose quoted (~bucket/infer-rate):
-        # device p50 should sit within a few x of bucket/11.4k s
-        est_ms = n / 11441.0 * 1000
+        # the co-located estimate the prose quoted (~bucket/infer-rate)
+        # — based on the CURRENT canary median, not a stale round's
+        # single-rep figure
+        est_ms = n / infer_rate * 1000
         results[f"bs{n}"]["colocated_estimate_ms"] = round(est_ms, 2)
+    results["colocated_basis_crops_per_sec"] = round(infer_rate, 1)
     print(json.dumps(results))
+
+
+def current_infer_rate(default: float = 11441.0) -> float:
+    """Latest canary median of the resident-weights inference rate
+    (benchmarks/canary.py writes canary_history.jsonl); falls back to
+    the round-3 K=64 figure if no canary record exists."""
+    path = os.path.join(os.path.dirname(__file__),
+                        "canary_history.jsonl")
+    rate = default
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                rate = rec.get("median", {}).get(
+                    "infer_resident_K64", rate)
+    except OSError:
+        pass
+    return rate
 
 
 if __name__ == "__main__":

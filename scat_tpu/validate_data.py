@@ -43,6 +43,7 @@ import argparse
 import json
 import os
 import pickle
+import re
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -583,7 +584,17 @@ def validate_mhp(data_dir: str, max_frames: int = 20) -> Report:
                 report.info("mhp-default-K", calib,
                             "no intrinsics.pkl: toolkit default "
                             "Logitech C270 K used (mhp.DEFAULT_K)")
-        report.n_samples += n_txt * len(usable_cams)
+        # count per-camera PAIRS exactly as MHPSequence.__init__ does
+        # (jpg AND {frame}_joints.txt both present, mhp.py:123-133):
+        # n_txt x n_cams over-counts when a camera has fewer jpgs than
+        # annotations and under-counts the reverse
+        txt_stems = {f[: -len("_joints.txt")] for f in files
+                     if f.endswith("_joints.txt")}
+        for cam in usable_cams:
+            pat = re.compile(rf"^(\d+)_webcam_{cam}\.jpg$")
+            report.n_samples += sum(
+                1 for f in files
+                if (m := pat.match(f)) and m.group(1) in txt_stems)
         if not usable_cams:
             continue
         # projection plausibility on the first paired frame
@@ -707,9 +718,12 @@ def run_sample_pipeline(dataset: str, data_dir: str, n: int,
     # tree
     if dataset == "stb":
         from scat_tpu.data.stb import STBDataset
-        name = ("STB_eval" if any(os.path.isdir(
-            os.path.join(data_dir, s)) for s in STB_EVAL_SEQS)
-            else "STB_train")
+        # prefer the TRAINING split when any B2-B6 sequence exists: the
+        # subsequent training run reads those files, and first contact
+        # should exercise them (the eval-only B1 tree still falls back)
+        name = ("STB_train" if any(os.path.isdir(
+            os.path.join(data_dir, s)) for s in STB_TRAIN_SEQS)
+            else "STB_eval")
         loader = STBDataset(name, data_dir=data_dir, batch_size=bs,
                             shuffle=False)
     elif dataset == "frei":
@@ -761,9 +775,15 @@ def run_sample_pipeline(dataset: str, data_dir: str, n: int,
 
 def detect_dataset(data_dir: str) -> Optional[str]:
     """Guess the dataset family from the tree shape."""
-    if os.path.isdir(os.path.join(data_dir, "labels")) or any(
-            os.path.isdir(os.path.join(data_dir, s))
-            for s in STB_TRAIN_SEQS + STB_EVAL_SEQS):
+    # a bare generic labels/ directory is NOT enough to claim STB (an
+    # unrelated tree would get STB-specific errors instead of the clear
+    # unrecognized-tree exit): require an {seq}_SK.pkl label file or an
+    # actual B* sequence directory
+    labels = os.path.join(data_dir, "labels")
+    if (os.path.isdir(labels)
+            and any(f.endswith("_SK.pkl") for f in os.listdir(labels))) \
+            or any(os.path.isdir(os.path.join(data_dir, s))
+                   for s in STB_TRAIN_SEQS + STB_EVAL_SEQS):
         return "stb"
     if any(os.path.exists(os.path.join(data_dir, f"{s}_K.json"))
            for s in ("training", "evaluation")):

@@ -421,3 +421,63 @@ def test_hrnet_bad_stop_after_asserts():
     with pytest.raises(AssertionError):
         m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
                train=False)
+
+
+def test_mhp_count_is_per_camera_pairs(tmp_path):
+    """Advisor r04: n_samples must count jpg+joints.txt PAIRS per
+    camera (what MHPSequence yields), not n_txt x n_cams — an extra
+    unpaired annotation or an extra unpaired jpg must not change it."""
+    _write_mhp_valid(str(tmp_path), n_frames=2)
+    frames = tmp_path / "annotated_frames" / "data_1"
+    # annotation with no jpg
+    (frames / "9_joints.txt").write_text(
+        "".join(f"{j} 0.0 0.0 600.0\n" for j in range(21)))
+    # jpg with no annotation
+    from PIL import Image
+    Image.fromarray(np.zeros((480, 640, 3), np.uint8)).save(
+        frames / "8_webcam_1.jpg")
+    report = validate_data.validate_mhp(str(tmp_path))
+    assert report.n_samples == 2
+
+
+def test_detect_dataset_generic_labels_dir_not_stb(tmp_path):
+    """Advisor r04: a bare labels/ directory without {seq}_SK.pkl or a
+    B* sequence must NOT auto-detect as STB."""
+    (tmp_path / "labels").mkdir()
+    (tmp_path / "labels" / "whatever.txt").write_text("x")
+    assert validate_data.detect_dataset(str(tmp_path)) is None
+    # but a real STB marker restores detection
+    (tmp_path / "labels" / "B1Counting_SK.pkl").write_bytes(b"")
+    assert validate_data.detect_dataset(str(tmp_path)) == "stb"
+
+
+def test_sample_pipeline_prefers_train_split(tmp_path):
+    """Advisor r04: on a tree holding BOTH splits the --n pipeline must
+    exercise the TRAINING split (the files the subsequent training run
+    reads), not B1."""
+    root = _write_synthetic_stb(tmp_path, n=1)
+    # tree already holds B1 (eval) sequences? ensure a train seq exists
+    has_train = any(
+        (root / s).is_dir() for s in validate_data.STB_TRAIN_SEQS)
+    has_eval = any(
+        (root / s).is_dir() for s in validate_data.STB_EVAL_SEQS)
+    from scat_tpu.data.stb import STBDataset
+    import unittest.mock as mock
+    seen = {}
+    real_init = STBDataset.__init__
+
+    def spy(self, name, **kw):
+        seen["name"] = name
+        return real_init(self, name, **kw)
+
+    with mock.patch.object(STBDataset, "__init__", spy):
+        try:
+            validate_data.run_sample_pipeline(
+                "stb", str(root), 1, str(tmp_path / "out"))
+        except Exception:
+            pass  # the crop dump may fail on a 1-sample tree; the
+        #            split choice is what's under test
+    if has_train:
+        assert seen["name"] == "STB_train"
+    else:
+        assert has_eval and seen["name"] == "STB_eval"
