@@ -55,6 +55,10 @@ class Attention(nn.Module):
     dropout: float = 0.0
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    # vit.py's Transformer scales dots by dim**-0.5 instead of the
+    # head dim (reference vit.py:41 vs vision_transformer.py:51);
+    # None keeps the standard dim_head**-0.5
+    scale_override: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, return_attn: bool = False,
@@ -70,7 +74,8 @@ class Attention(nn.Module):
             return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        scale = dh ** -0.5
+        scale = (dh ** -0.5 if self.scale_override is None
+                 else float(self.scale_override))
         attn = None
         if self.use_pallas and not return_attn:
             from scat_tpu.ops.pallas_attention import flash_attention

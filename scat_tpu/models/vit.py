@@ -98,18 +98,25 @@ class YunqianTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True):
+        # Reference vit.py:71-85: Residual wraps Attention/FeedForward
+        # DIRECTLY — vit.py defines a PreNorm class but never uses it
+        # (unlike vision_transformer.py), and its Attention scales dots
+        # by dim**-0.5 (vit.py:41), not dim_head**-0.5.  Both pinned by
+        # tests/test_literal_reference.py::test_literal_yunqian.
         for i in range(self.depth):
-            y = nn.LayerNorm(name=f"attn_norm_{i}")(x)
             y = Attention(self.dim, heads=self.heads,
                           dim_head=self.dim_head, dropout=self.dropout,
-                          dtype=self.dtype, name=f"attn_{i}")(
-                              y, deterministic=deterministic)
+                          dtype=self.dtype,
+                          scale_override=self.dim ** -0.5,
+                          name=f"attn_{i}")(
+                              x, deterministic=deterministic)
             x = x + y
-            y = nn.LayerNorm(name=f"ff_norm_{i}")(x)
             y = nn.Dense(self.mlp_dim, dtype=self.dtype,
-                         name=f"ff_{i}_1")(y)
+                         name=f"ff_{i}_1")(x)
             y = nn.gelu(y, approximate=False)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             y = nn.Dense(self.dim, dtype=self.dtype, name=f"ff_{i}_2")(y)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             x = x + y
         x = nn.LayerNorm(name="head_norm")(x)
         return nn.Dense(self.out_dim, name="head")(x)

@@ -516,3 +516,52 @@ def test_literal_vibe_loss(ref, masked):
                                rtol=1e-5)
     # sanity: our encoder term really came from the ported disc
     assert float(encoder_disc_l2_loss(fake_value)) > 0
+
+
+def test_literal_yunqian(ref):
+    """models/vit.py:71-108 (YunqianTransformer): the literal file
+    defines a PreNorm class but NEVER applies it — Residual wraps
+    Attention/FeedForward directly — and its Attention scales dots by
+    dim**-0.5 (vit.py:41), not dim_head**-0.5.  Both quirks diverge
+    from vision_transformer.py; this test caught our round-1..4
+    implementation assuming the pre-norm form, now fixed."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    import flax
+    from scat_tpu.models.vit import YunqianTransformer
+
+    vit_mod = importlib.import_module("models.vit")
+    torch.manual_seed(15)
+    lm = vit_mod.YunqianTransformer(dim=64, depth=2, heads=2,
+                                    mlp_dim=128, dim_head=16,
+                                    out_dim=61, dropout=0.0)
+    lm.eval()
+    fm = YunqianTransformer(dim=64, depth=2, heads=2, dim_head=16,
+                            mlp_dim=128, out_dim=61)
+    x = np.random.RandomState(6).randn(2, 9, 64).astype(np.float32)
+    variables = fm.init(jax.random.key(0), jnp.asarray(x))
+    p = flax.core.unfreeze(variables["params"])
+    sd = lm.state_dict()
+    for i in range(2):
+        att = f"transformer.layers.{i}.0.fn"
+        p[f"attn_{i}"]["to_qkv"]["kernel"] = (
+            sd[f"{att}.to_qkv.weight"].numpy().T)
+        p[f"attn_{i}"]["to_out"]["kernel"] = (
+            sd[f"{att}.to_out.0.weight"].numpy().T)
+        p[f"attn_{i}"]["to_out"]["bias"] = (
+            sd[f"{att}.to_out.0.bias"].numpy())
+        ffn = f"transformer.layers.{i}.1.fn.net"
+        p[f"ff_{i}_1"]["kernel"] = sd[f"{ffn}.0.weight"].numpy().T
+        p[f"ff_{i}_1"]["bias"] = sd[f"{ffn}.0.bias"].numpy()
+        p[f"ff_{i}_2"]["kernel"] = sd[f"{ffn}.3.weight"].numpy().T
+        p[f"ff_{i}_2"]["bias"] = sd[f"{ffn}.3.bias"].numpy()
+    p["head_norm"]["scale"] = sd["mlp_head.0.weight"].numpy()
+    p["head_norm"]["bias"] = sd["mlp_head.0.bias"].numpy()
+    p["head"]["kernel"] = sd["mlp_head.1.weight"].numpy().T
+    p["head"]["bias"] = sd["mlp_head.1.bias"].numpy()
+    with torch.no_grad():
+        want = lm(torch.from_numpy(x))
+    got = fm.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=5e-5)
