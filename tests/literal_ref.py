@@ -66,10 +66,78 @@ def install_shims():
     _shimmed = True
 
 
+class ScipyQuaternion:
+    """pyquaternion.Quaternion stand-in backed by scipy (pyquaternion
+    is absent in this image).  Only the surface dataset/rotation.py
+    touches: ``Quaternion(wxyz)``, ``Quaternion(axis=, angle=)``,
+    ``.q``, and quaternion multiplication — the multiply is the plain
+    Hamilton product, so the literal code's math runs unchanged."""
+
+    def __init__(self, q=None, axis=None, angle=None):
+        if q is not None:
+            self.q = np.asarray(getattr(q, "q", q), dtype=float)
+        else:
+            from scipy.spatial.transform import Rotation as R
+            axis = np.asarray(axis, dtype=float)
+            rotvec = axis / np.linalg.norm(axis) * float(angle)
+            xyzw = R.from_rotvec(rotvec).as_quat()
+            self.q = xyzw[[3, 0, 1, 2]]
+
+    def __mul__(self, other):
+        w1, x1, y1, z1 = self.q
+        w2, x2, y2, z2 = np.asarray(getattr(other, "q", other),
+                                    dtype=float)
+        return ScipyQuaternion(q=[
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _stub_optional_deps():
+    """Give the literal dataset modules their missing imports.
+
+    * ``oss2`` (Alibaba cloud SDK) — imported at dataset/load_STB.py:12
+      but only used for remote storage; an empty module suffices.
+    * ``torchvision.transforms`` — used only inside get_transform()
+      (load_STB.py:48-67), which these tests never call; attribute-only
+      stub lets the import succeed.
+    * ``pyquaternion`` — backed by ScipyQuaternion above so the literal
+      rotation code actually RUNS (the product is the standard Hamilton
+      product either way).
+    """
+    import types
+    if "oss2" not in sys.modules:
+        try:
+            importlib.import_module("oss2")
+        except ImportError:
+            sys.modules["oss2"] = types.ModuleType("oss2")
+    if "torchvision" not in sys.modules:
+        try:
+            importlib.import_module("torchvision")
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tr = types.ModuleType("torchvision.transforms")
+            for name in ("Normalize", "Resize", "ToTensor", "Compose",
+                         "ColorJitter"):
+                setattr(tr, name, lambda *a, **k: None)
+            tv.transforms = tr
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tr
+    if "pyquaternion" not in sys.modules:
+        try:
+            importlib.import_module("pyquaternion")
+        except ImportError:
+            pq = types.ModuleType("pyquaternion")
+            pq.Quaternion = ScipyQuaternion
+            sys.modules["pyquaternion"] = pq
+
+
 def load(module: str):
     """Import a module from the literal reference tree (e.g.
     'models.hand_net').  Idempotent; returns the cached module."""
     install_shims()
+    _stub_optional_deps()
     if REF_ROOT not in sys.path:
         # append, not insert: never shadow repo/test modules
         sys.path.append(REF_ROOT)
