@@ -2,8 +2,10 @@
 
 Reference models/config_test.py:4-76 is a near-duplicate of the main
 ``BaseOptions`` used by ``__main__`` blocks, with different defaults
-(``vit_heads=4``, no ``pl_reg``).  Here it reuses the single Options
-dataclass with those defaults applied.
+(``vit_heads=4`` at :21, ``pos_embed=False`` at :50; no ``pl_reg``).
+Here it reuses the single Options dataclass with those defaults
+applied — pinned against the literal twin in
+tests/test_literal_config.py.
 """
 
 from __future__ import annotations
@@ -11,6 +13,8 @@ from __future__ import annotations
 import dataclasses
 
 from scat_tpu.config import BaseOptions as _BaseOptions, Options
+
+_TWIN_DEFAULTS = {"vit_heads": 4, "pos_embed": False}
 
 
 class BaseOptions(_BaseOptions):
@@ -20,7 +24,8 @@ class BaseOptions(_BaseOptions):
         import sys
         opt = super().parse(argv)
         raw = sys.argv[1:] if argv is None else argv
-        given = any(a.split("=")[0] == "--vit_heads" for a in raw)
-        if not given:
-            opt = dataclasses.replace(opt, vit_heads=4)
+        for flag, default in _TWIN_DEFAULTS.items():
+            given = any(a.split("=")[0] == f"--{flag}" for a in raw)
+            if not given:
+                opt = dataclasses.replace(opt, **{flag: default})
         return opt
