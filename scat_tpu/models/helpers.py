@@ -54,7 +54,9 @@ class SPADE(nn.Module):
 
     norm_nc: int
     label_nc: int
-    nhidden: int = 128
+    # "The dimension of the intermediate embedding space.  Yes,
+    # hardcoded." — 32 in the reference (spatial_norm.py:35)
+    nhidden: int = 32
     param_free_norm_type: str = "batch"
     ks: int = 3
     dtype: Any = jnp.float32

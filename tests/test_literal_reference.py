@@ -565,3 +565,109 @@ def test_literal_yunqian(ref):
     got = fm.apply({"params": p}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                atol=5e-5)
+
+
+def test_literal_spade(ref):
+    """models/helper/spatial_norm.py:20-59 (SPADE): literal weights
+    ported; batch (running-stat) and instance variants, with the
+    nearest-resize of the segmap."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    import flax
+    from scat_tpu.models.helpers import SPADE
+    from scat_tpu.utils.torch_import import _conv_kernel
+
+    sn = importlib.import_module("models.helper.spatial_norm")
+    for norm_type in ("batch", "instance"):
+        torch.manual_seed(16)
+        lm = sn.SPADE(norm_type, 16, 3)
+        lm.eval()
+        fm = SPADE(norm_nc=16, label_nc=3,
+                   param_free_norm_type=norm_type)
+        r = np.random.RandomState(7)
+        x = r.randn(2, 32, 32, 16).astype(np.float32)
+        seg = r.rand(2, 8, 8, 3).astype(np.float32)
+        variables = fm.init(jax.random.key(0), jnp.asarray(x),
+                            jnp.asarray(seg), train=False)
+        p = flax.core.unfreeze(variables["params"])
+        sd = lm.state_dict()
+        p["mlp_shared"]["kernel"] = _conv_kernel(
+            sd["mlp_shared.0.weight"].numpy())
+        p["mlp_shared"]["bias"] = sd["mlp_shared.0.bias"].numpy()
+        for name in ("mlp_gamma", "mlp_beta"):
+            p[name]["kernel"] = _conv_kernel(
+                sd[f"{name}.weight"].numpy())
+            p[name]["bias"] = sd[f"{name}.bias"].numpy()
+        vs = {"params": p}
+        if "batch_stats" in variables:
+            vs["batch_stats"] = variables["batch_stats"]
+        got = fm.apply(vs, jnp.asarray(x), jnp.asarray(seg),
+                       train=False)
+        with torch.no_grad():
+            want = lm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(seg.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+            atol=1e-4, err_msg=norm_type)
+
+
+@pytest.mark.slow
+def test_literal_truncated_resnet(ref):
+    """models/helper/resnet_helper.py:101-158: the layer1-2 trunk
+    (resnet50 layout), literal weights ported into TruncatedResNet."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    import flax
+    from scat_tpu.models.helpers import TruncatedResNet
+    from scat_tpu.utils.torch_import import _conv_kernel
+
+    rh = importlib.import_module("models.helper.resnet_helper")
+    torch.manual_seed(17)
+    lm = rh.resnet50(pretrained=False, zero_init_residual=False)
+    with torch.no_grad():
+        for m in lm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    lm.eval()
+    fm = TruncatedResNet()
+    r = np.random.RandomState(8)
+    x = r.randn(1, 64, 64, 3).astype(np.float32) * 0.5
+    variables = fm.init(jax.random.key(0), jnp.asarray(x), train=False)
+    p = flax.core.unfreeze(variables["params"])
+    bs = flax.core.unfreeze(variables["batch_stats"])
+    sd = lm.state_dict()
+
+    def port_bn(tree_p, tree_b, tname):
+        tree_p["scale"] = sd[f"{tname}.weight"].numpy()
+        tree_p["bias"] = sd[f"{tname}.bias"].numpy()
+        tree_b["mean"] = sd[f"{tname}.running_mean"].numpy()
+        tree_b["var"] = sd[f"{tname}.running_var"].numpy()
+
+    p["conv1"]["kernel"] = _conv_kernel(sd["conv1.weight"].numpy())
+    port_bn(p["bn1"], bs["bn1"], "bn1")
+    for i, blocks in enumerate((3, 4)):
+        for j in range(blocks):
+            fname = f"layer{i + 1}_{j}"
+            tname = f"layer{i + 1}.{j}"
+            for k in range(3):
+                p[fname][f"Conv_{k}"]["kernel"] = _conv_kernel(
+                    sd[f"{tname}.conv{k + 1}.weight"].numpy())
+                port_bn(p[fname][f"BatchNorm_{k}"],
+                        bs[fname][f"BatchNorm_{k}"],
+                        f"{tname}.bn{k + 1}")
+            if f"{tname}.downsample.0.weight" in sd:
+                p[fname]["downsample_conv"]["kernel"] = _conv_kernel(
+                    sd[f"{tname}.downsample.0.weight"].numpy())
+                port_bn(p[fname]["downsample_bn"],
+                        bs[fname]["downsample_bn"],
+                        f"{tname}.downsample.1")
+    got = fm.apply({"params": p, "batch_stats": bs}, jnp.asarray(x),
+                   train=False)
+    with torch.no_grad():
+        want = lm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+        atol=1e-3)
