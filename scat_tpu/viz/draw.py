@@ -49,8 +49,14 @@ BONES = [(0, 1), (1, 2), (2, 3), (3, 4),
 
 
 def plot_2d_hand(axis, coords_hw, vis=None, color_fixed=None,
-                 linewidth="1", order="hw", draw_kp=True):
-    """reference eval.py:163-216."""
+                 linewidth="1", order="hw", draw_kp=True,
+                 draw_idx=False):
+    """reference eval.py:163-216.
+
+    ``draw_idx`` overlays the joint index at each keypoint — the
+    reference ships that line commented out (draw_3d_joints.py:96), so
+    it defaults off for pixel parity (test_literal_viz.py) and stays
+    available for debugging."""
     if order == "uv":
         coords_hw = coords_hw[:, ::-1]
     colors = np.array(color_hand_joints)
@@ -69,8 +75,9 @@ def plot_2d_hand(axis, coords_hw, vis=None, color_fixed=None,
         if vis[i] > 0.5:
             axis.plot(coords_hw[i, 1], coords_hw[i, 0], "o",
                       color=colors[i])
-            axis.text(coords_hw[i, 1], coords_hw[i, 0], f"{i}",
-                      fontsize=5, color="white")
+            if draw_idx:
+                axis.text(coords_hw[i, 1], coords_hw[i, 0], f"{i}",
+                          fontsize=5, color="white")
 
 
 def plot_3d_hand(ax, pose_cam_xyz):
