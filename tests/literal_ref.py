@@ -190,6 +190,42 @@ def write_mano_pkl(path: str, data) -> None:
         pickle.dump(dd, f, protocol=2)
 
 
+def load_reference_test(mano_tree: str):
+    """Import the literal /root/reference/test.py (the FrankMocap
+    inference flow) under the module name ``scat_reference_test``.
+
+    Loaded by file path because the bare name ``test`` is shadowed by
+    CPython's stdlib test package.  Needs three extra accommodations,
+    none touching the functions under test: an ``smplx`` stub module
+    (absent dependency, used only inside run paths), a stub for
+    ``dataset.inference`` (a module MISSING from the upstream release —
+    test.py:18 imports it; our re-derivation is scat_tpu/data/testset),
+    and the MANO pickle tree for the module-level models.mano import
+    chain (test.py:13)."""
+    import types
+    install_shims()
+    _stub_optional_deps()
+    if "smplx" not in sys.modules:
+        try:
+            importlib.import_module("smplx")
+        except ImportError:
+            sys.modules["smplx"] = types.ModuleType("smplx")
+    load_mano_literal(mano_tree)  # caches models.mano
+    if "dataset.inference" not in sys.modules:
+        load("dataset.utils")  # ensures the dataset package exists
+        stub = types.ModuleType("dataset.inference")
+        stub.Inference = type("Inference", (), {})
+        sys.modules["dataset.inference"] = stub
+    if "scat_reference_test" in sys.modules:
+        return sys.modules["scat_reference_test"]
+    spec = importlib.util.spec_from_file_location(
+        "scat_reference_test", os.path.join(REF_ROOT, "test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["scat_reference_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_mano_literal(tree_root: str):
     """Import the literal models.mano, which pickle-loads
     'extra_data/MANO_RIGHT.pkl' relative to the CWD at import time
