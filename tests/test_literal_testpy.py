@@ -41,7 +41,7 @@ def test_literal_convert_bbox_to_oriIm(ltest):
                                       640, 480)
     ours = smplx_glue.convert_bbox_to_oriIm(
         jnp.asarray(d), 0.7, np.array([12.0, 30.0]), 640, 480)
-    np.testing.assert_allclose(np.asarray(ours), lit, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours), lit, rtol=2e-5)
 
 
 def test_literal_convert_smpl_to_bbox(ltest):
@@ -56,7 +56,7 @@ def test_literal_convert_smpl_to_bbox(ltest):
                                      bAppTransFirst=True)
     ours = smplx_glue.convert_smpl_to_bbox(
         jnp.asarray(d), scale, trans, bAppTransFirst=True)
-    np.testing.assert_allclose(np.asarray(ours), lit, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours), lit, rtol=2e-5)
     # default branch: the literal's joint-slice indexing
     # (test.py:82 ``data3D[:,0:2] += trans`` on [B,N,3]) doesn't even
     # broadcast — the shipped dead code CRASHES; ours implements
@@ -68,7 +68,7 @@ def test_literal_convert_smpl_to_bbox(ltest):
         jnp.asarray(d), scale, trans, bAppTransFirst=False))
     intent = d * scale
     intent[:, :, 0:2] += trans
-    np.testing.assert_allclose(ours2, intent * 112.0, rtol=1e-6)
+    np.testing.assert_allclose(ours2, intent * 112.0, rtol=2e-5)
 
 
 def test_literal_center_crop_resize(ltest):
