@@ -28,11 +28,19 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ENV = {**os.environ,
-       "JAX_PLATFORMS": "cpu",
-       "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH",
-                                                        "")}
-BOOT = "import runpy, sys; "
+# CPU-forced like tests/test_cli.py: the axon sitecustomize (on
+# PYTHONPATH) force-selects the TPU tunnel at interpreter start even
+# with JAX_PLATFORMS=cpu in the env — the BOOT must re-pin the platform
+# before the module runs, or these "CPU" subprocesses silently contend
+# for the single-chip tunnel
+ENV = dict(os.environ,
+           JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8",
+           SCAT_FORCE_CPU="1",
+           PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                         ""))
+BOOT = ("import jax; jax.config.update('jax_platforms','cpu'); "
+        "import runpy, sys; ")
 
 
 def _run(module, argv, timeout=900):
