@@ -97,6 +97,7 @@ def _eval(data_dir, eval_dataset, final, out):
 @pytest.mark.slow
 def test_contract_stb(tmp_path):
     from tests.test_stb import _write_synthetic_stb
+    (tmp_path / "STB").mkdir()
     data_dir = str(_write_synthetic_stb(tmp_path / "STB", n=4))
     _validate(data_dir, "stb")
     final, _ = _train(data_dir, 3, tmp_path / "ckpt")
