@@ -168,7 +168,9 @@ def test_contract_rhd(tmp_path):
     _write_synthetic_ho3d(root, frames=8)       # root/HO3D
     rhd_dir = root / "RHD_published_v2"
     rhd_dir.mkdir()
-    _write_rhd_valid(str(rhd_dir), n=4)         # SHORTEST: 1 batch
+    # RHD yields a crop per HAND (2/frame): 2 frames -> 4 crops -> the
+    # SHORTEST member at bs 4 (1 batch; frei/ho3d/STB give >= 2)
+    _write_rhd_valid(str(rhd_dir), n=2)
     _validate(str(rhd_dir), "rhd")
 
     final, r = _train(str(stb_dir), 2, tmp_path / "ckpt")
