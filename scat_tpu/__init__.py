@@ -20,6 +20,6 @@ Reference layout is documented in SURVEY.md; per-component reference
 citations (file:line into /root/reference) live in each module docstring.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from scat_tpu.config import BaseOptions, Options  # noqa: F401
