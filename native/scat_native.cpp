@@ -197,20 +197,33 @@ void scat_affine_warp_u8(const uint8_t* in, int H, int W,
 static void box_blur_1d_u8(uint8_t* img, int H, int W, int k, int axis) {
   if (k <= 1) return;
   const int anchor = k / 2;
+  // The reference's k x k kernel holds its 1-D box at column/row
+  // int((k-1)/2) while cv2.filter2D anchors at k/2
+  // (load_STB.py:162-169): for EVEN k the correlation therefore also
+  // samples the PERPENDICULAR axis at offset -1, translating the image
+  // one pixel — pinned against the literal motion_blur in
+  // tests/test_literal_data_utils.py and mirrored by
+  // stb.maybe_motion_blur on the device path.
+  const int perp_off = (k % 2 == 0) ? -1 : 0;
   const float inv = 1.0f / (float)k;
   const int len = (axis == 0) ? H : W;
+  const int plen = (axis == 0) ? W : H;
   std::vector<uint8_t> tmp((size_t)H * W * 3);
   memcpy(tmp.data(), img, tmp.size());
   for (int y = 0; y < H; y++) {
     for (int x = 0; x < W; x++) {
+      // perpendicular source coordinate (reflect-101 at the border)
+      int q = ((axis == 0) ? x : y) + perp_off;
+      if (q < 0) q = -q;
+      if (q >= plen) q = 2 * plen - 2 - q;
       float acc[3] = {0, 0, 0};
       for (int t = -anchor; t <= k - 1 - anchor; t++) {
         int p = (axis == 0) ? y + t : x + t;
         if (p < 0) p = -p;                       // REFLECT_101
         if (p >= len) p = 2 * len - 2 - p;
         const uint8_t* src = (axis == 0)
-            ? tmp.data() + ((size_t)p * W + x) * 3
-            : tmp.data() + ((size_t)y * W + p) * 3;
+            ? tmp.data() + ((size_t)p * W + q) * 3
+            : tmp.data() + ((size_t)q * W + p) * 3;
         acc[0] += src[0]; acc[1] += src[1]; acc[2] += src[2];
       }
       uint8_t* dst = img + ((size_t)y * W + x) * 3;
