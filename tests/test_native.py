@@ -94,12 +94,23 @@ def test_stb_native_path_matches_device_path(tmp_path, rng):
 def test_native_box_blur_matches_reference_math(tmp_path, rng):
     """1-sample blur through load_batch (identity warp) vs a float64
     re-execution of the cv2.filter2D-convention box blur (anchor k//2,
-    REFLECT_101 — reference dataset/utils.py:204-241)."""
+    REFLECT_101, and for EVEN k the perpendicular -1 sample the
+    reference's int((k-1)/2) kernel placement implies — reference
+    load_STB.py:154-187, pinned against the literal function in
+    test_literal_data_utils.py)."""
     H, W = 32, 40
     img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
     p = str(tmp_path / "b.png")
     Image.fromarray(img).save(p)
     M = np.array([[[1, 0, 0], [0, 1, 0]]], np.float32)
+
+    def take_reflect(a, off, ax):
+        n = a.shape[ax]
+        idx = np.arange(n) + off
+        idx = np.where(idx < 0, -idx, idx)
+        idx = np.where(idx >= n, 2 * n - 2 - idx, idx)
+        return np.take(a, idx, axis=ax)
+
     for k, axis in [(4, 0), (7, 1), (10, 0)]:
         got, valid = nl.load_batch([p], H, W, M, H, W,
                                    blur_ksize=np.array([k]),
@@ -108,13 +119,12 @@ def test_native_box_blur_matches_reference_math(tmp_path, rng):
         anchor = k // 2
         x = img.astype(np.float64)
         acc = np.zeros_like(x)
-        n = H if axis == 0 else W
         for t in range(-anchor, k - anchor):
-            idx = np.arange(n) + t
-            idx = np.where(idx < 0, -idx, idx)
-            idx = np.where(idx >= n, 2 * n - 2 - idx, idx)
-            acc += x[idx] if axis == 0 else x[:, idx]
-        want_u8 = np.floor(acc / k + 0.5)   # native rounds to uint8
+            acc += take_reflect(x, t, axis)
+        acc /= k
+        if k % 2 == 0:
+            acc = take_reflect(acc, -1, 1 - axis)
+        want_u8 = np.floor(acc + 0.5)   # native rounds to uint8
         want = want_u8 / 255.0 * 2.0 - 1.0
         np.testing.assert_allclose(got[0], want, atol=1e-5)
     # ksize<=1 must be a no-op
